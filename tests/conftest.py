@@ -1,0 +1,28 @@
+"""Test harness: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware (SURVEY.md §4).
+
+Note: the environment ships a sitecustomize that forces JAX_PLATFORMS=axon
+at interpreter startup, so setting the env var alone is not enough — we also
+override through jax.config before any computation runs.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
