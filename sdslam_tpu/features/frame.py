@@ -1,0 +1,148 @@
+"""Frame construction: ORB pyramid extraction + per-keypoint channels.
+
+TPU-native replacement for the reference's Frame + ORBextractor pair
+(/root/reference/src/Frame.{h,cc}, src/ORBextractor.{h,cc}).  A Frame is a
+pytree of fixed-shape arrays: keypoints padded to a static capacity with a
+validity mask, descriptors packed as uint32 words, and the stored image
+pyramid needed by the direct ImageAlign path (Frame.h:183).
+
+The reference's 64x48 feature grid (Frame.h:37-38, AssignFeaturesToGrid) is
+deliberately absent: windowed searches are done as dense masked [N,M]
+distance computations, which is the MXU/VPU-native equivalent of a grid
+lookup at these sizes (N, M <= 1024).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdslam_tpu.geometry import camera as cam_mod
+from sdslam_tpu.geometry.camera import CameraModel
+from sdslam_tpu.ops import fast as fast_ops
+from sdslam_tpu.ops import orb as orb_ops
+from sdslam_tpu.ops import pyramid as pyr_ops
+from sdslam_tpu.utils.config import ORBConfig
+
+
+class FrameFeatures(NamedTuple):
+    uv: jnp.ndarray  # [N,2] float32, raw pixel coords at level-0 scale
+    uv_und: jnp.ndarray  # [N,2] float32, undistorted coords
+    octave: jnp.ndarray  # [N] int32 pyramid level
+    angle: jnp.ndarray  # [N] float32 radians
+    score: jnp.ndarray  # [N] float32 FAST score
+    desc: jnp.ndarray  # [N,8] uint32 packed 256-bit descriptors
+    valid: jnp.ndarray  # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.uv.shape[0]
+
+
+class Frame(NamedTuple):
+    features: FrameFeatures
+    pyramid: Tuple[jnp.ndarray, ...]  # stored for direct alignment
+    depth: jnp.ndarray  # [N] per-keypoint depth (>0) or -1 (mono / no reading)
+    uright: jnp.ndarray  # [N] virtual right coord u - bf/d, or -1
+    Tcw: jnp.ndarray  # [4,4]
+
+
+def _extract_static(pyramid, quotas, scale_factor, threshold, cell, border):
+    """Core extraction over a built pyramid. All params static."""
+    uvs, octs, angs, scores, valids, descs = [], [], [], [], [], []
+    for lvl, img in enumerate(pyramid):
+        q = quotas[lvl]
+        if q <= 0:
+            continue
+        uv_l, sc, val = fast_ops.detect_keypoints(
+            img, q, threshold=threshold, cell=cell, border=border
+        )
+        ang = orb_ops.orientations(img, uv_l, val)
+        blurred = pyr_ops.gaussian_blur(img)
+        d = orb_ops.descriptors(blurred, uv_l, ang, val)
+        s = scale_factor**lvl
+        uvs.append(uv_l * s)
+        octs.append(jnp.full((q,), lvl, jnp.int32))
+        angs.append(ang)
+        scores.append(sc)
+        valids.append(val)
+        descs.append(d)
+    return (
+        jnp.concatenate(uvs),
+        jnp.concatenate(octs),
+        jnp.concatenate(angs),
+        jnp.concatenate(scores),
+        jnp.concatenate(valids),
+        jnp.concatenate(descs),
+    )
+
+
+class ORBExtractor:
+    """Jitted ORB front-end bound to a camera + config (static shapes).
+
+    Equivalent capability to ORBextractor::operator()
+    (/root/reference/src/ORBextractor.cc:620-678): returns both the padded
+    keypoint set and the pyramid.
+    """
+
+    def __init__(self, cam: CameraModel, cfg: ORBConfig):
+        self.cam = cam
+        self.cfg = cfg
+        self.quotas = tuple(
+            pyr_ops.level_quotas(cfg.max_keypoints, cfg.n_levels, cfg.scale_factor)
+        )
+
+        @jax.jit
+        def _run(img):
+            pyramid = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+            uv, octv, ang, score, valid, desc = _extract_static(
+                pyramid,
+                self.quotas,
+                cfg.scale_factor,
+                float(cfg.fast_threshold),
+                16,
+                19,
+            )
+            uv_und = cam_mod.undistort_pixels(cam, uv)
+            feats = FrameFeatures(uv, uv_und, octv, ang, score, desc, valid)
+            return feats, tuple(pyramid)
+
+        self._run = _run
+
+    def __call__(self, img) -> Tuple[FrameFeatures, Tuple[jnp.ndarray, ...]]:
+        return self._run(jnp.asarray(img, jnp.float32))
+
+
+def make_frame(
+    extractor: ORBExtractor,
+    img,
+    depth_img: Optional[jnp.ndarray] = None,
+    depth_factor: float = 1.0,
+) -> Frame:
+    """Build a Frame; with depth_img (RGB-D) fills per-keypoint depth and the
+    virtual right coordinate (Frame::ComputeStereoFromRGBD, Frame.cc:399-417).
+    """
+    feats, pyramid = extractor(img)
+    n = feats.capacity
+    if depth_img is not None:
+        dimg = jnp.asarray(depth_img, jnp.float32)
+        if depth_factor != 1.0:
+            dimg = dimg / depth_factor
+        xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, dimg.shape[1] - 1)
+        yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, dimg.shape[0] - 1)
+        d = dimg[yi, xi]
+        d = jnp.where(feats.valid & (d > 0), d, -1.0)
+        uright = cam_mod.virtual_right(extractor.cam, feats.uv_und[:, 0], d)
+    else:
+        d = jnp.full((n,), -1.0, jnp.float32)
+        uright = jnp.full((n,), -1.0, jnp.float32)
+    return Frame(
+        features=feats,
+        pyramid=pyramid,
+        depth=d,
+        uright=uright,
+        Tcw=jnp.eye(4, dtype=jnp.float32),
+    )

@@ -1,0 +1,141 @@
+"""FAST-9 corner detection as dense vectorized map ops (VPU-friendly).
+
+Replaces the per-cell OpenCV `FAST` calls in ORBextractor::ComputeKeyPoints
+(/root/reference/src/ORBextractor.cc:466-610).  Instead of iterating cells on
+the host, we compute the full dense FAST score map in one shot (16 shifted
+images + windowed circular minima), 3x3 non-max suppression, then do
+spatially-stratified top-k selection — the TPU-native equivalent of the
+reference's per-cell quota redistribution.
+
+Score definition: the maximum threshold t for which the pixel is still a
+FAST-9 corner, i.e. max over the 16 circular 9-windows of the window-min of
+(circle - center) for bright arcs (symmetrically for dark).  This matches
+OpenCV's FAST score semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3, 16 points, (dy, dx), clockwise from top.
+CIRCLE16 = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+ARC = 9  # contiguous arc length for FAST-9
+
+
+def _shifted_stack(img):
+    """[16,H,W] stack of circle-offset views (jnp.roll; borders masked later)."""
+    return jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in CIRCLE16]
+    )
+
+
+def _circular_window_min(x, win: int):
+    """Min over `win` consecutive entries (circular) along axis 0 of [16,...].
+
+    Log-step sliding min: acc_k holds min over a window of size k; doubling
+    via rolled self-minima gives O(log win) VPU ops.
+    """
+    acc = x
+    size = 1
+    while size * 2 <= win:
+        acc = jnp.minimum(acc, jnp.roll(acc, -size, axis=0))
+        size *= 2
+    if size < win:
+        # min(acc_s[k], acc_s[k + win - s]) covers [k, k+win) since win-s <= s
+        acc = jnp.minimum(acc, jnp.roll(acc, -(win - size), axis=0))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("border",))
+def fast_score_map(img, border: int = 19):
+    """Dense FAST-9 score map [H,W] float32; 0 where not a corner.
+
+    img: [H,W] float32 intensities.
+    """
+    H, W = img.shape
+    circle = _shifted_stack(img)  # [16,H,W]
+    diffs = circle - img[None]
+    # bright arcs: window-min of diffs over each circular 9-window; best window
+    min9_bright = _circular_window_min(diffs, ARC)  # [16,H,W]
+    score_bright = jnp.max(min9_bright, axis=0)
+    # dark arcs: window-min of -diffs
+    min9_dark = _circular_window_min(-diffs, ARC)
+    score_dark = jnp.max(min9_dark, axis=0)
+    score = jnp.maximum(score_bright, score_dark)
+    score = jnp.maximum(score, 0.0)
+    # mask borders (circle radius + descriptor border handled by caller)
+    v = jnp.arange(H)[:, None]
+    u = jnp.arange(W)[None, :]
+    inb = (v >= border) & (v < H - border) & (u >= border) & (u < W - border)
+    return jnp.where(inb, score, 0.0)
+
+
+def nms3(score):
+    """3x3 non-maximum suppression: keep pixels equal to their neighborhood max."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= m, score, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_keypoints", "cell", "threshold", "border")
+)
+def detect_keypoints(
+    img,
+    n_keypoints: int,
+    threshold: float = 20.0,
+    cell: int = 16,
+    border: int = 19,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detect up to n_keypoints FAST corners with spatial stratification.
+
+    Returns (uv [N,2] float32 (x,y), score [N], valid [N] bool), fixed N.
+    """
+    H, W = img.shape
+    score = nms3(fast_score_map(img, border=border))
+    score = jnp.where(score > threshold, score, 0.0)
+
+    # pad to cell multiples, reshape into cells
+    Hp = -(-H // cell) * cell
+    Wp = -(-W // cell) * cell
+    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)), constant_values=0.0)
+    nCy, nCx = Hp // cell, Wp // cell
+    cells = sp.reshape(nCy, cell, nCx, cell).transpose(0, 2, 1, 3).reshape(
+        nCy * nCx, cell * cell
+    )
+    k_cell = max(1, -(-n_keypoints // (nCy * nCx)))
+    k_cell = min(k_cell, cell * cell)
+    cs, ci = jax.lax.top_k(cells, k_cell)  # [nc, k], [nc, k]
+    # cell-local -> global pixel coords
+    cy = jnp.arange(nCy * nCx) // nCx
+    cx = jnp.arange(nCy * nCx) % nCx
+    py = cy[:, None] * cell + ci // cell
+    px = cx[:, None] * cell + ci % cell
+    flat_s = cs.reshape(-1)
+    flat_y = py.reshape(-1)
+    flat_x = px.reshape(-1)
+    n = min(n_keypoints, flat_s.shape[0])
+    top_s, top_i = jax.lax.top_k(flat_s, n)
+    uv = jnp.stack(
+        [flat_x[top_i].astype(jnp.float32), flat_y[top_i].astype(jnp.float32)],
+        axis=-1,
+    )
+    valid = top_s > 0.0
+    if n < n_keypoints:
+        pad = n_keypoints - n
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
+        top_s = jnp.concatenate([top_s, jnp.zeros((pad,), top_s.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return uv, top_s, valid
