@@ -48,10 +48,19 @@ def make_room_scene(seed: int = 0, n_waves: int = 48, size: float = 4.0) -> Plan
         dtype=np.float32,
     )
     offsets = np.array([-size, -size / 2, -size / 2, -size / 3, -size / 3], np.float32)
-    # band-limited texture: mixture of 3D sinusoids, freq in [1, 14] rad/m
+    # Two-band texture: low frequencies give smooth photometric structure for
+    # direct alignment; a mid-high band (up to ~110 rad/m, safely below the
+    # ~250 rad/m pixel Nyquist at 4 m / fx=320) creates FAST-detectable
+    # corners at level 0.
     dirs = rng.normal(size=(n_waves, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    mags = rng.uniform(1.0, 14.0, size=(n_waves, 1))
+    n_low = n_waves // 4
+    mags = np.concatenate(
+        [
+            rng.uniform(1.0, 14.0, size=(n_low, 1)),
+            rng.uniform(15.0, 110.0, size=(n_waves - n_low, 1)),
+        ]
+    )
     freqs = (dirs * mags).astype(np.float32)
     phases = rng.uniform(0, 2 * np.pi, size=n_waves).astype(np.float32)
     amps = (rng.uniform(0.3, 1.0, size=n_waves) / np.sqrt(n_waves)).astype(np.float32)
@@ -70,7 +79,9 @@ def scene_intensity(scene: PlaneScene, X, plane_idx):
     """Procedural texture value in [0,1]-ish at world points X [...,3]."""
     phase = jnp.einsum("...i,ki->...k", X, scene.freqs) + scene.phases
     tex = jnp.einsum("...k,k->...", jnp.sin(phase), scene.amps)
-    return scene.biases[plane_idx] + 0.5 * tex
+    # soft contrast sharpening: strengthens gradients/corners while keeping
+    # the intensity field analytic (no aliasing from hard edges)
+    return scene.biases[plane_idx] + 0.45 * jnp.tanh(2.2 * tex)
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
