@@ -23,19 +23,30 @@ from sdslam_tpu.geometry.camera import CameraModel
 
 
 class PlaneScene(NamedTuple):
-    """A set of textured planes n·x = d with rectangular bounds."""
+    """Textured scene: infinite room planes n·x = d plus bounded interior
+    rectangles (clutter at varied depth/orientation — without it a
+    fronto-parallel room is degenerate: x-translation vs y-rotation is a
+    flat valley for BOTH photometric alignment and sparse reprojection)."""
 
-    normals: jnp.ndarray  # [P,3]
+    normals: jnp.ndarray  # [P,3] room planes
     offsets: jnp.ndarray  # [P]
-    # texture basis, shared across planes: I = bias_p + sum_k amp * sin(f·x + ph)
+    rect_origin: jnp.ndarray  # [B,3] bounded-rectangle centers
+    rect_u: jnp.ndarray  # [B,3] in-plane axis (unit * half-extent)
+    rect_v: jnp.ndarray  # [B,3]
+    # texture basis, shared across surfaces: I = bias_s + sum_k amp*sin(f·x+ph)
     freqs: jnp.ndarray  # [K,3]
     phases: jnp.ndarray  # [K]
     amps: jnp.ndarray  # [K]
-    biases: jnp.ndarray  # [P]
+    biases: jnp.ndarray  # [P+B]
 
 
-def make_room_scene(seed: int = 0, n_waves: int = 48, size: float = 4.0) -> PlaneScene:
-    """Room around the origin; camera conventions: x right, y down, z forward."""
+def make_room_scene(seed: int = 0, n_waves: int = 48, size: float = 2.5) -> PlaneScene:
+    """Room around the origin; camera conventions: x right, y down, z forward.
+
+    Default size 2.5 m puts surfaces at 0.8-2.5 m: close enough that camera
+    z-translation is photometrically observable (a 4 m fronto-parallel wall
+    is depth-degenerate — 3 cm of z moves edge pixels < 0.6 px — and makes
+    any odometry drift in z, ours or the reference's)."""
     rng = np.random.default_rng(seed)
     normals = np.array(
         [
@@ -48,26 +59,54 @@ def make_room_scene(seed: int = 0, n_waves: int = 48, size: float = 4.0) -> Plan
         dtype=np.float32,
     )
     offsets = np.array([-size, -size / 2, -size / 2, -size / 3, -size / 3], np.float32)
-    # Two-band texture: low frequencies give smooth photometric structure for
-    # direct alignment; a mid-high band (up to ~110 rad/m, safely below the
-    # ~250 rad/m pixel Nyquist at 4 m / fx=320) creates FAST-detectable
-    # corners at level 0.
+    # Natural-image-like 1/f spectrum: log-uniform frequencies up to
+    # ~110 rad/m (below the ~250 rad/m pixel Nyquist at 2.5 m / fx=320) with
+    # amplitude ~ 1/f.  A narrow high-frequency band would make the texture
+    # quasi-periodic and give Lucas-Kanade a lattice of photometric local
+    # minima one texture period apart — broadband 1/f keeps the basin wide
+    # (monotonically decaying autocorrelation) while high frequencies still
+    # provide FAST-detectable corners.
+    n_waves = max(n_waves, 128)
     dirs = rng.normal(size=(n_waves, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    n_low = n_waves // 4
-    mags = np.concatenate(
-        [
-            rng.uniform(1.0, 14.0, size=(n_low, 1)),
-            rng.uniform(15.0, 110.0, size=(n_waves - n_low, 1)),
-        ]
-    )
+    mags = np.exp(rng.uniform(np.log(1.5), np.log(150.0), size=(n_waves, 1)))
     freqs = (dirs * mags).astype(np.float32)
     phases = rng.uniform(0, 2 * np.pi, size=n_waves).astype(np.float32)
-    amps = (rng.uniform(0.3, 1.0, size=n_waves) / np.sqrt(n_waves)).astype(np.float32)
-    biases = rng.uniform(0.35, 0.65, size=len(normals)).astype(np.float32)
+    # mild high-frequency tilt (~f^0.3 over log-spaced frequencies): enough
+    # corner energy for FAST (~320 kps/frame) while the broadband low end
+    # keeps the LK basin wide (verified: 6 cm init convergence)
+    amps = (mags[:, 0] ** 0.3).astype(np.float32)
+    amps *= np.sqrt(2.0) / np.sqrt((amps**2).sum())
+
+    # interior clutter: randomly oriented bounded rectangles scattered in the
+    # front half of the room at depths 0.8..size-0.4
+    n_rect = 8
+    origins, us, vs = [], [], []
+    for _ in range(n_rect):
+        c = np.array(
+            [
+                rng.uniform(-size / 3, size / 3),
+                rng.uniform(-size / 4, size / 4),
+                rng.uniform(0.8, size - 0.4),
+            ],
+            np.float32,
+        )
+        a = rng.normal(size=3)
+        a /= np.linalg.norm(a)
+        b = np.cross(a, rng.normal(size=3))
+        b /= np.linalg.norm(b)
+        eu = rng.uniform(0.15, 0.45)
+        ev = rng.uniform(0.15, 0.45)
+        origins.append(c)
+        us.append((a * eu).astype(np.float32))
+        vs.append((b * ev).astype(np.float32))
+    biases = rng.uniform(0.35, 0.65, size=len(normals) + n_rect).astype(np.float32)
     return PlaneScene(
         jnp.asarray(normals),
         jnp.asarray(offsets),
+        jnp.asarray(np.stack(origins)),
+        jnp.asarray(np.stack(us)),
+        jnp.asarray(np.stack(vs)),
         jnp.asarray(freqs),
         jnp.asarray(phases),
         jnp.asarray(amps),
@@ -81,7 +120,7 @@ def scene_intensity(scene: PlaneScene, X, plane_idx):
     tex = jnp.einsum("...k,k->...", jnp.sin(phase), scene.amps)
     # soft contrast sharpening: strengthens gradients/corners while keeping
     # the intensity field analytic (no aliasing from hard edges)
-    return scene.biases[plane_idx] + 0.45 * jnp.tanh(2.2 * tex)
+    return scene.biases[plane_idx] + 0.45 * jnp.tanh(1.0 * tex)
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -103,8 +142,28 @@ def render(scene: PlaneScene, cam: CameraModel, Tcw):
         jnp.abs(n_dot_d) < 1e-6, 1e-6, n_dot_d
     )
     t = jnp.where(t > 1e-3, t, jnp.inf)
-    plane_idx = jnp.argmin(t, axis=-1)  # [H,W]
-    depth = jnp.min(t, axis=-1)
+
+    # bounded interior rectangles
+    ru, rv = scene.rect_u, scene.rect_v  # [B,3]
+    rn = jnp.cross(ru, rv)
+    rn = rn / jnp.linalg.norm(rn, axis=-1, keepdims=True)
+    num = jnp.einsum("bi,bi->b", rn, scene.rect_origin - twc[None, :])  # [B]
+    den = jnp.einsum("bi,hwi->hwb", rn, dw)
+    tr_ = num[None, None, :] / jnp.where(jnp.abs(den) < 1e-6, 1e-6, den)
+    hit = twc[None, None, None, :] + tr_[..., None] * dw[:, :, None, :]  # [H,W,B,3]
+    rel = hit - scene.rect_origin[None, None, :, :]
+    au = jnp.einsum("hwbi,bi->hwb", rel, ru) / jnp.maximum(
+        jnp.sum(ru * ru, -1)[None, None, :], 1e-9
+    )
+    av = jnp.einsum("hwbi,bi->hwb", rel, rv) / jnp.maximum(
+        jnp.sum(rv * rv, -1)[None, None, :], 1e-9
+    )
+    inside = (jnp.abs(au) <= 1.0) & (jnp.abs(av) <= 1.0) & (tr_ > 1e-3)
+    tr_ = jnp.where(inside, tr_, jnp.inf)
+
+    t_all = jnp.concatenate([t, tr_], axis=-1)  # [H,W,P+B]
+    plane_idx = jnp.argmin(t_all, axis=-1)  # [H,W]
+    depth = jnp.min(t_all, axis=-1)
     Xw = twc[None, None, :] + depth[..., None] * dw
     img = scene_intensity(scene, Xw, plane_idx) * 255.0
     img = jnp.clip(img, 0.0, 255.0)
@@ -112,10 +171,11 @@ def render(scene: PlaneScene, cam: CameraModel, Tcw):
     return img, depth
 
 
-def orbit_trajectory(n_frames: int, radius: float = 0.4, seed: int = 1):
+def orbit_trajectory(n_frames: int, radius: float = 0.4, yaw_amp: float = 0.12, seed: int = 1):
     """Smooth looping trajectory of Tcw poses [N,4,4] looking down +z.
 
-    Small rotations + translation loop; starts at identity.
+    Small rotations + translation loop; starts at identity. Per-frame flow
+    scales with radius (lateral) and yaw_amp (rotational).
     """
     ts = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
     poses = []
@@ -125,8 +185,8 @@ def orbit_trajectory(n_frames: int, radius: float = 0.4, seed: int = 1):
             [radius * np.sin(t), 0.25 * radius * np.sin(2 * t), 0.3 * radius * (1 - np.cos(t))],
             np.float32,
         )
-        yaw = 0.12 * np.sin(t)
-        pitch = 0.06 * np.sin(2 * t)
+        yaw = yaw_amp * np.sin(t)
+        pitch = 0.5 * yaw_amp * np.sin(2 * t)
         phi = np.array([pitch, yaw, 0.0], np.float32)
         Rwc = np.asarray(lie.so3_exp(jnp.asarray(phi)))
         Rcw = Rwc.T

@@ -1,0 +1,200 @@
+"""Local mapping: observation fusion, map-point culling, keyframe culling.
+
+TPU-native equivalents of the LocalMapping thread's map-maintenance passes
+(/root/reference/src/LocalMapping.{h,cc}):
+
+  fuse_neighbors     <- SearchInNeighbors (LocalMapping.cc:422-511) +
+                        ORBmatcher::Fuse (ORBmatcher.cc:477-615): project map
+                        points between a new keyframe and its covisible
+                        neighbors, adding cross-observations and merging
+                        duplicates.  This is what stiffens bundle adjustment:
+                        without cross-links every keyframe's points are only
+                        anchored to their creator and BA can drag the map.
+  cull_points        <- MapPointCulling (LocalMapping.cc:161-188): drop
+                        points with found-ratio < 0.25 or too few
+                        observations shortly after creation.
+  cull_keyframes     <- KeyFrameCulling (LocalMapping.cc:580-634): drop KFs
+                        whose points are >= 90% observed by >= 3 other KFs at
+                        the same or finer scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdslam_tpu.features import matching
+from sdslam_tpu.geometry import camera as cam_mod
+from sdslam_tpu.geometry import lie
+from sdslam_tpu.geometry.camera import CameraModel
+from sdslam_tpu.mapping import map_state as M
+from sdslam_tpu.ops import hamming as ham
+
+
+def _fuse_into_kf(
+    cam: CameraModel,
+    ms: M.MapState,
+    kf_slot,
+    q_pt_ids,  # [Q] point ids to project into this KF (-1 padded)
+    scale_factor: float,
+    radius: float = 3.0,
+    th_desc: int = ham.TH_LOW,
+):
+    """Project candidate points into one keyframe; bind matched keypoints.
+
+    Returns (new kf_mp row [N], replace_map update [P] int32 with -1 default).
+    A matched keypoint that is free gets the point; a matched keypoint that
+    already holds a different point merges the two (fewer-observations loses,
+    MapPoint::Replace semantics)."""
+    P = ms.P
+    q_safe = jnp.clip(q_pt_ids, 0, P - 1)
+    q_ok = (q_pt_ids >= 0) & ms.pt_valid[q_safe]
+    row = ms.kf_mp[kf_slot]
+    # skip points already bound in this KF
+    bound = jnp.zeros((P,), bool).at[jnp.where(row >= 0, row, P)].set(True, mode="drop")
+    q_ok &= ~bound[q_safe]
+    # dedupe query list (the same point may arrive from several neighbors)
+    Q = q_pt_ids.shape[0]
+    first = jnp.full((P,), Q, jnp.int32).at[jnp.where(q_ok, q_safe, P)].min(
+        jnp.arange(Q, dtype=jnp.int32), mode="drop"
+    )
+    q_ok &= first[q_safe] == jnp.arange(Q)
+
+    res = matching.search_by_projection(
+        cam,
+        ms.kf_Tcw[kf_slot],
+        ms.pt_pos[q_safe],
+        ms.pt_desc[q_safe],
+        q_ok,
+        jnp.zeros_like(q_safe),
+        ms.kf_uv_und[kf_slot],
+        ms.kf_desc[kf_slot],
+        ms.kf_kp_valid[kf_slot],
+        ms.kf_octave[kf_slot],
+        radius_px=radius,
+        th_desc=th_desc,
+        scale_factor=scale_factor,
+    )
+    matched_pt = jnp.where(
+        res.kp_to_query >= 0, q_pt_ids[jnp.clip(res.kp_to_query, 0, q_pt_ids.shape[0] - 1)], -1
+    )  # [N] point id matched to each keypoint
+
+    obs_cnt = M.point_obs_count(ms)
+    free = (row < 0) & (matched_pt >= 0)
+    new_row = jnp.where(free, matched_pt, row)
+
+    # duplicate: keypoint already holds a different point -> merge
+    dup = (row >= 0) & (matched_pt >= 0) & (row != matched_pt)
+    a = jnp.clip(row, 0, P - 1)
+    b = jnp.clip(matched_pt, 0, P - 1)
+    keep_row = obs_cnt[a] >= obs_cnt[b]
+    loser = jnp.where(dup, jnp.where(keep_row, b, a), P)
+    winner = jnp.where(dup, jnp.where(keep_row, a, b), -1)
+    replace_map = jnp.full((P,), -1, jnp.int32).at[loser].set(winner, mode="drop")
+    # if the matched point won, rebind the keypoint
+    new_row = jnp.where(dup & (~keep_row), matched_pt, new_row)
+    return new_row, replace_map
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_neighbors"))
+def fuse_neighbors(
+    cam: CameraModel,
+    ms: M.MapState,
+    kf_slot,
+    scale_factor: float = 2.0,
+    n_neighbors: int = 5,
+) -> M.MapState:
+    """SearchInNeighbors: two-way observation fusion between a keyframe and
+    its top covisible neighbors."""
+    cov = M.covisibility(ms)
+    w = cov[kf_slot].at[kf_slot].set(-1)
+    _, neigh = jax.lax.top_k(w, n_neighbors)  # [C] best neighbor slots
+    neigh_ok = jnp.take(w, neigh) > 0
+
+    # direction A: neighbors' points -> this KF
+    neigh_pts = ms.kf_mp[neigh].reshape(-1)  # [C*N]
+    neigh_pts = jnp.where(jnp.repeat(neigh_ok, ms.N), neigh_pts, -1)
+    # dedupe against this KF happens inside _fuse_into_kf
+    new_row, rep = _fuse_into_kf(cam, ms, kf_slot, neigh_pts, scale_factor)
+    ms = ms._replace(kf_mp=ms.kf_mp.at[kf_slot].set(new_row))
+    ms = M.replace_points(ms, rep)
+
+    # direction B: this KF's points -> each neighbor
+    own_pts = ms.kf_mp[kf_slot]
+    for i in range(n_neighbors):
+        slot_i = neigh[i]
+        row_i, rep_i = _fuse_into_kf(cam, ms, slot_i, own_pts, scale_factor)
+        row_i = jnp.where(neigh_ok[i], row_i, ms.kf_mp[slot_i])
+        rep_i = jnp.where(neigh_ok[i], rep_i, -1)
+        ms = ms._replace(kf_mp=ms.kf_mp.at[slot_i].set(row_i))
+        ms = M.replace_points(ms, rep_i)
+    return ms
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cull_points(
+    ms: M.MapState,
+    min_found_ratio: float = 0.25,
+    min_obs_after: int = 2,
+    age_window: int = 2,
+) -> M.MapState:
+    """MapPointCulling: a recent point dies if its tracking found-ratio is
+    below 0.25, or if it is older than `age_window` keyframes and still has
+    fewer than min_obs_after observations (LocalMapping.cc:161-188)."""
+    obs = M.point_obs_count(ms)
+    age = ms.next_kf_id - ms.pt_first_kf  # in keyframes
+    found_ratio = ms.pt_found.astype(jnp.float32) / jnp.maximum(
+        ms.pt_visible.astype(jnp.float32), 1.0
+    )
+    young = age <= age_window + 1
+    bad = (found_ratio < min_found_ratio) & (age >= 2)
+    bad |= (age >= age_window) & (age <= age_window + 2) & (obs < min_obs_after)
+    return M.remove_points(ms, ms.pt_valid & young & bad)
+
+
+@functools.partial(jax.jit, static_argnames=("max_obs",))
+def cull_keyframes(
+    ms: M.MapState,
+    protect_slot,
+    redundancy: float = 0.9,
+    max_obs: int = 16,
+) -> M.MapState:
+    """KeyFrameCulling: mark a KF redundant when >= 90% of its observed
+    points are seen by >= 3 other KFs at the same or finer octave
+    (LocalMapping.cc:580-634). At most one KF is culled per call (the most
+    redundant), keeping the spanning structure stable."""
+    obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
+    has = obs_kf >= 0
+    kf_safe = jnp.clip(obs_kf, 0, ms.K - 1)
+    kp_safe = jnp.clip(obs_kp, 0, ms.N - 1)
+    oct_obs = ms.kf_octave[kf_safe, kp_safe]  # [P,M]
+
+    # for each KF k: over its bound keypoints, how many of its points have
+    # >= 3 other observations at octave <= own octave + 1
+    own_oct = ms.kf_octave  # [K,N]
+    pt = jnp.clip(ms.kf_mp, 0, ms.P - 1)  # [K,N]
+    pt_has = (ms.kf_mp >= 0) & ms.kf_kp_valid & ms.kf_valid[:, None]
+    # count per (K,N): observations of pt[k,n] in other KFs at fine octave
+    # obs table per point: [P,M]; gather per (k,n)
+    obs_oct_pn = oct_obs[pt]  # [K,N,M]
+    obs_kf_pn = obs_kf[pt]  # [K,N,M]
+    fine = (
+        (obs_kf_pn >= 0)
+        & (obs_kf_pn != jnp.arange(ms.K)[:, None, None])
+        & (obs_oct_pn <= own_oct[:, :, None] + 1)
+    )
+    n_fine = jnp.sum(fine, axis=-1)  # [K,N]
+    redundant_obs = pt_has & (n_fine >= 3)
+    n_obs_kf = jnp.sum(pt_has, axis=1)
+    ratio = jnp.sum(redundant_obs, axis=1) / jnp.maximum(n_obs_kf, 1)
+    candidate = ms.kf_valid & (ratio > redundancy) & (n_obs_kf > 0)
+    candidate &= jnp.arange(ms.K) != protect_slot
+    # never cull the oldest (gauge anchor)
+    oldest = jnp.argmin(jnp.where(ms.kf_valid, ms.kf_frame_id, jnp.iinfo(jnp.int32).max))
+    candidate &= jnp.arange(ms.K) != oldest
+    best = jnp.argmax(jnp.where(candidate, ratio, -1.0))
+    kill = jnp.zeros((ms.K,), bool).at[best].set(jnp.any(candidate))
+    return M.remove_keyframes(ms, kill)

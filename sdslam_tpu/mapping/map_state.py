@@ -1,0 +1,391 @@
+"""Array-resident SLAM map: fixed-capacity SoA pools + derived structures.
+
+TPU-native replacement for the reference's pointer-graph data model
+(/root/reference/src/{Map,KeyFrame,MapPoint}.{h,cc}).  Design rules:
+
+  * Fixed-capacity pools with validity masks (keyframes [K], points [P]);
+    slots are reused after culling via cumsum-compaction allocation.
+  * `kf_mp[K, N]` (keypoint -> point id, -1 none; the reference's
+    mvpMapPoints, KeyFrame.h:150) is the SINGLE source of truth for the
+    observation graph.  Per-point observation lists, observation counts,
+    covisibility weights, spanning-tree candidates, normals/depth bands and
+    representative descriptors are all *derived* batched computations — the
+    reference's dual bookkeeping (MapPoint::mObservations + KeyFrame vectors,
+    kept consistent by hand under 3 mutexes) collapses into segment ops.
+  * Covisibility = one bf16 incidence matmul on the MXU
+    (counts[k1,k2] = #shared points), replacing KeyFrame::UpdateConnections
+    (KeyFrame.cc:282-366) pointer walks.
+
+All functions are pure MapState -> MapState; the host pipeline owns ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdslam_tpu.geometry import lie
+from sdslam_tpu.ops import hamming as ham
+
+
+class MapState(NamedTuple):
+    # --- keyframe pool [K, ...] ---
+    kf_valid: jnp.ndarray  # [K] bool
+    kf_Tcw: jnp.ndarray  # [K,4,4]
+    kf_uv: jnp.ndarray  # [K,N,2] raw kp coords (level-0 scale)
+    kf_uv_und: jnp.ndarray  # [K,N,2] undistorted
+    kf_octave: jnp.ndarray  # [K,N] int32
+    kf_angle: jnp.ndarray  # [K,N] float32
+    kf_desc: jnp.ndarray  # [K,N,8] uint32
+    kf_kp_valid: jnp.ndarray  # [K,N] bool
+    kf_depth: jnp.ndarray  # [K,N] float32 (-1 none)
+    kf_uright: jnp.ndarray  # [K,N] float32 (-1 none)
+    kf_mp: jnp.ndarray  # [K,N] int32 keypoint -> point id (-1)
+    kf_frame_id: jnp.ndarray  # [K] int32
+    kf_timestamp: jnp.ndarray  # [K] float32
+    kf_parent: jnp.ndarray  # [K] int32 spanning-tree parent (-1 root)
+    kf_pyramid: Tuple[jnp.ndarray, ...]  # per level: [K, H_l, W_l] float32
+
+    # --- point pool [P, ...] ---
+    pt_valid: jnp.ndarray  # [P] bool
+    pt_pos: jnp.ndarray  # [P,3]
+    pt_desc: jnp.ndarray  # [P,8] uint32 representative descriptor
+    pt_normal: jnp.ndarray  # [P,3] mean viewing direction
+    pt_min_dist: jnp.ndarray  # [P]
+    pt_max_dist: jnp.ndarray  # [P]
+    pt_ref_kf: jnp.ndarray  # [P] int32
+    pt_first_kf: jnp.ndarray  # [P] int32 (kf counter at creation, for culling)
+    pt_visible: jnp.ndarray  # [P] int32 tracking visibility counter
+    pt_found: jnp.ndarray  # [P] int32 tracking found counter
+
+    # --- counters (monotonic ids, scalar int32) ---
+    next_kf_id: jnp.ndarray  # total KFs ever created
+    next_pt_id: jnp.ndarray  # total points ever created
+
+    @property
+    def K(self) -> int:
+        return self.kf_valid.shape[0]
+
+    @property
+    def P(self) -> int:
+        return self.pt_valid.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.kf_mp.shape[1]
+
+    def n_keyframes(self):
+        return jnp.sum(self.kf_valid)
+
+    def n_points(self):
+        return jnp.sum(self.pt_valid)
+
+
+def init_map(
+    max_keyframes: int,
+    max_points: int,
+    max_kps: int,
+    pyramid_shapes: Tuple[Tuple[int, int], ...],
+) -> MapState:
+    K, P, N = max_keyframes, max_points, max_kps
+    return MapState(
+        kf_valid=jnp.zeros((K,), bool),
+        kf_Tcw=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+        kf_uv=jnp.zeros((K, N, 2), jnp.float32),
+        kf_uv_und=jnp.zeros((K, N, 2), jnp.float32),
+        kf_octave=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), jnp.float32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_depth=jnp.full((K, N), -1.0, jnp.float32),
+        kf_uright=jnp.full((K, N), -1.0, jnp.float32),
+        kf_mp=jnp.full((K, N), -1, jnp.int32),
+        kf_frame_id=jnp.zeros((K,), jnp.int32),
+        kf_timestamp=jnp.zeros((K,), jnp.float32),
+        kf_parent=jnp.full((K,), -1, jnp.int32),
+        kf_pyramid=tuple(
+            jnp.zeros((K, h, w), jnp.float32) for (h, w) in pyramid_shapes
+        ),
+        pt_valid=jnp.zeros((P,), bool),
+        pt_pos=jnp.zeros((P, 3), jnp.float32),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_min_dist=jnp.zeros((P,), jnp.float32),
+        pt_max_dist=jnp.full((P,), 1e9, jnp.float32),
+        pt_ref_kf=jnp.full((P,), -1, jnp.int32),
+        pt_first_kf=jnp.full((P,), -1, jnp.int32),
+        pt_visible=jnp.ones((P,), jnp.int32),
+        pt_found=jnp.ones((P,), jnp.int32),
+        next_kf_id=jnp.asarray(0, jnp.int32),
+        next_pt_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# slot allocation
+# ---------------------------------------------------------------------------
+
+def allocate_slots(valid, want):
+    """Assign the i-th wanted item to the i-th free slot.
+
+    valid: [S] current occupancy; want: [M] bool request mask.
+    Returns slots [M] int32 (-1 if pool exhausted or not wanted).
+    """
+    free_rank = jnp.cumsum(~valid) - 1  # rank of each free slot
+    n_free = jnp.sum(~valid)
+    S = valid.shape[0]
+    # slot_of_rank[r] = index of r-th free slot; occupied slots scatter to
+    # index S which is out of bounds and dropped (NEVER use -1 here: jax
+    # scatter wraps negative indices)
+    slot_of_rank = jnp.full((S,), -1, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(~valid, free_rank, S)].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
+    )
+    want_rank = jnp.cumsum(want) - 1
+    ok = want & (want_rank < n_free)
+    slots = jnp.where(ok, slot_of_rank[jnp.clip(want_rank, 0, S - 1)], -1)
+    return slots.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# derived structures
+# ---------------------------------------------------------------------------
+
+def observation_table(ms: MapState):
+    """Flattened observation table: for each (kf, kp) slot, the observed
+    point id (-1 when none). Only valid KFs contribute."""
+    obs = jnp.where(
+        ms.kf_valid[:, None] & ms.kf_kp_valid & (ms.kf_mp >= 0), ms.kf_mp, -1
+    )
+    return obs  # [K,N]
+
+
+def incidence_matrix(ms: MapState, dtype=jnp.bfloat16):
+    """[K,P] 0/1 incidence: KF k observes point p."""
+    obs = observation_table(ms)
+    K, N = obs.shape
+    inc = jnp.zeros((K, ms.P), dtype)
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N))
+    inc = inc.at[rows.ravel(), jnp.clip(obs, 0, ms.P - 1).ravel()].max(
+        jnp.where(obs >= 0, 1, 0).astype(dtype).ravel(), mode="drop"
+    )
+    return inc
+
+
+def covisibility(ms: MapState):
+    """[K,K] int32 shared-observation counts (diagonal zeroed).
+
+    One MXU matmul over the incidence matrix — the TPU-native
+    KeyFrame::UpdateConnections."""
+    inc = incidence_matrix(ms)
+    counts = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
+    counts = counts.astype(jnp.int32)
+    counts = counts * (1 - jnp.eye(ms.K, dtype=jnp.int32))
+    mask = ms.kf_valid
+    return counts * (mask[:, None] & mask[None, :])
+
+
+def point_obs_count(ms: MapState):
+    """[P] number of keyframes observing each point."""
+    obs = observation_table(ms)
+    cnt = jnp.zeros((ms.P,), jnp.int32)
+    cnt = cnt.at[jnp.clip(obs, 0, ms.P - 1).ravel()].add(
+        (obs >= 0).ravel().astype(jnp.int32), mode="drop"
+    )
+    return cnt * ms.pt_valid
+
+
+def build_obs_lists(ms: MapState, max_obs: int = 16):
+    """Derived per-point observation lists via one sort over the [K*N] table.
+
+    Returns (obs_kf [P,M], obs_kp [P,M]) int32, -1 padded.  Replaces
+    MapPoint::mObservations (MapPoint.h:...) as an on-demand structure.
+    """
+    obs = observation_table(ms).ravel()  # [K*N]
+    KN = obs.shape[0]
+    key = jnp.where(obs >= 0, obs, ms.P)  # invalid sorts to the end
+    order = jnp.argsort(key)
+    sorted_p = key[order]
+    starts = jnp.searchsorted(sorted_p, jnp.arange(ms.P))
+    counts = jnp.searchsorted(sorted_p, jnp.arange(ms.P), side="right") - starts
+    sl = starts[:, None] + jnp.arange(max_obs)[None, :]  # [P,M]
+    in_range = jnp.arange(max_obs)[None, :] < jnp.minimum(counts, max_obs)[:, None]
+    flat = jnp.where(in_range, order[jnp.clip(sl, 0, KN - 1)], -1)
+    N = ms.N
+    obs_kf = jnp.where(flat >= 0, flat // N, -1).astype(jnp.int32)
+    obs_kp = jnp.where(flat >= 0, flat % N, -1).astype(jnp.int32)
+    return obs_kf, obs_kp
+
+
+def update_point_statistics(ms: MapState, max_obs: int = 16) -> MapState:
+    """Recompute representative descriptors, normals and scale bands for all
+    valid points from current observations.
+
+    Replaces MapPoint::ComputeDistinctiveDescriptors (min median Hamming,
+    MapPoint.cc:225-284) and UpdateNormalAndDepth (MapPoint.cc:304-343) —
+    batched over the whole pool instead of per-point loops.
+    """
+    obs_kf, obs_kp = build_obs_lists(ms, max_obs)
+    M = max_obs
+    has = obs_kf >= 0  # [P,M]
+    kf_safe = jnp.clip(obs_kf, 0, ms.K - 1)
+    kp_safe = jnp.clip(obs_kp, 0, ms.N - 1)
+
+    # gather observation descriptors [P,M,8]
+    descs = ms.kf_desc[kf_safe, kp_safe]
+    # pairwise Hamming [P,M,M]
+    x = jnp.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    pair_ok = has[:, :, None] & has[:, None, :]
+    d = jnp.where(pair_ok, d, ham.BIG)
+    # median distance of each obs to the others ~= sorted row middle
+    cnt = jnp.sum(has, axis=1)  # [P]
+    d_sorted = jnp.sort(d, axis=-1)  # invalid BIG at end
+    med_idx = jnp.clip(cnt // 2, 0, M - 1)
+    med = jnp.take_along_axis(
+        d_sorted, med_idx[:, None, None].repeat(M, 1), axis=-1
+    )[..., 0]
+    med = jnp.where(has, med, ham.BIG)
+    best = jnp.argmin(med, axis=1)  # [P]
+    rep_desc = jnp.take_along_axis(descs, best[:, None, None].repeat(8, -1), 1)[:, 0]
+
+    # normals: mean direction from KF centers to point
+    Twc = lie.se3_inv(ms.kf_Tcw)  # [K,4,4]
+    centers = lie.se3_t(Twc)  # [K,3]
+    cen = centers[kf_safe]  # [P,M,3]
+    vec = ms.pt_pos[:, None, :] - cen
+    dist = jnp.linalg.norm(vec, axis=-1)
+    dirn = vec / jnp.maximum(dist[..., None], 1e-9)
+    nsum = jnp.sum(jnp.where(has[..., None], dirn, 0.0), axis=1)
+    normal = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-9)
+
+    # scale band from the reference observation (use best-descriptor obs)
+    ref_kf = jnp.take_along_axis(kf_safe, best[:, None], 1)[:, 0]
+    ref_kp = jnp.take_along_axis(kp_safe, best[:, None], 1)[:, 0]
+    ref_dist = jnp.linalg.norm(ms.pt_pos - centers[ref_kf], axis=-1)
+    ref_oct = ms.kf_octave[ref_kf, ref_kp].astype(jnp.float32)
+    return rep_desc, normal, ref_dist, ref_oct, cnt
+
+
+def finalize_point_statistics(
+    ms: MapState, scale_factor: float, n_levels: int, max_obs: int = 16
+) -> MapState:
+    """Apply update_point_statistics results into the state."""
+    rep_desc, normal, ref_dist, ref_oct, cnt = update_point_statistics(ms, max_obs)
+    has_obs = (cnt > 0) & ms.pt_valid
+    level_scale = scale_factor**ref_oct
+    max_dist = ref_dist * level_scale
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    return ms._replace(
+        pt_desc=jnp.where(has_obs[:, None], rep_desc, ms.pt_desc),
+        pt_normal=jnp.where(has_obs[:, None], normal, ms.pt_normal),
+        pt_min_dist=jnp.where(has_obs, min_dist, ms.pt_min_dist),
+        pt_max_dist=jnp.where(has_obs, max_dist, ms.pt_max_dist),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutation ops
+# ---------------------------------------------------------------------------
+
+def insert_keyframe(
+    ms: MapState,
+    slot,  # int32 scalar: target KF slot (from allocate_slots)
+    Tcw,
+    uv,
+    uv_und,
+    octave,
+    angle,
+    desc,
+    kp_valid,
+    depth,
+    uright,
+    mp_assoc,  # [N] int32 keypoint -> existing point id (-1)
+    pyramid: Tuple[jnp.ndarray, ...],
+    frame_id,
+    timestamp,
+    parent,
+) -> MapState:
+    s = slot
+    new_pyr = tuple(
+        pool.at[s].set(img) for pool, img in zip(ms.kf_pyramid, pyramid)
+    )
+    return ms._replace(
+        kf_valid=ms.kf_valid.at[s].set(True),
+        kf_Tcw=ms.kf_Tcw.at[s].set(Tcw),
+        kf_uv=ms.kf_uv.at[s].set(uv),
+        kf_uv_und=ms.kf_uv_und.at[s].set(uv_und),
+        kf_octave=ms.kf_octave.at[s].set(octave),
+        kf_angle=ms.kf_angle.at[s].set(angle),
+        kf_desc=ms.kf_desc.at[s].set(desc),
+        kf_kp_valid=ms.kf_kp_valid.at[s].set(kp_valid),
+        kf_depth=ms.kf_depth.at[s].set(depth),
+        kf_uright=ms.kf_uright.at[s].set(uright),
+        kf_mp=ms.kf_mp.at[s].set(mp_assoc),
+        kf_frame_id=ms.kf_frame_id.at[s].set(frame_id),
+        kf_timestamp=ms.kf_timestamp.at[s].set(timestamp),
+        kf_parent=ms.kf_parent.at[s].set(parent),
+        kf_pyramid=new_pyr,
+        next_kf_id=ms.next_kf_id + 1,
+    )
+
+
+def create_points(
+    ms: MapState,
+    kf_slot,  # scalar int32: owning keyframe
+    want,  # [N] bool: keypoints that should spawn a new point
+    pos_w,  # [N,3] world positions for those keypoints
+) -> Tuple[MapState, jnp.ndarray]:
+    """Create new map points bound to keypoints of kf_slot.
+
+    Returns (new_ms, point_ids [N] int32 with -1 where not created)."""
+    slots = allocate_slots(ms.pt_valid, want)  # [N]
+    ok = slots >= 0
+    # out-of-bounds sentinel P for rejected entries -> dropped by scatter
+    sl = jnp.where(ok, slots, ms.P)
+    desc = ms.kf_desc[kf_slot]
+    ms = ms._replace(
+        pt_valid=ms.pt_valid.at[sl].set(True, mode="drop"),
+        pt_pos=ms.pt_pos.at[sl].set(pos_w, mode="drop"),
+        pt_desc=ms.pt_desc.at[sl].set(desc, mode="drop"),
+        pt_ref_kf=ms.pt_ref_kf.at[sl].set(kf_slot, mode="drop"),
+        pt_first_kf=ms.pt_first_kf.at[sl].set(ms.next_kf_id, mode="drop"),
+        pt_visible=ms.pt_visible.at[sl].set(1, mode="drop"),
+        pt_found=ms.pt_found.at[sl].set(1, mode="drop"),
+        next_pt_id=ms.next_pt_id + jnp.sum(ok),
+    )
+    # bind into the keyframe's association row
+    row = ms.kf_mp[kf_slot]
+    row = jnp.where(ok, slots, row)
+    ms = ms._replace(kf_mp=ms.kf_mp.at[kf_slot].set(row))
+    return ms, jnp.where(ok, slots, -1)
+
+
+def remove_points(ms: MapState, kill_mask) -> MapState:
+    """Invalidate points and scrub them from every keyframe row."""
+    pt_valid = ms.pt_valid & (~kill_mask)
+    obs_alive = pt_valid[jnp.clip(ms.kf_mp, 0, ms.P - 1)] & (ms.kf_mp >= 0)
+    return ms._replace(pt_valid=pt_valid, kf_mp=jnp.where(obs_alive, ms.kf_mp, -1))
+
+
+def remove_keyframes(ms: MapState, kill_mask) -> MapState:
+    """Invalidate keyframes (their observations vanish with kf_valid)."""
+    return ms._replace(
+        kf_valid=ms.kf_valid & (~kill_mask),
+        kf_mp=jnp.where(kill_mask[:, None], -1, ms.kf_mp),
+    )
+
+
+def replace_points(ms: MapState, replace_map) -> MapState:
+    """Fuse: redirect every observation of point a to replace_map[a] (>=0),
+    then invalidate the replaced points (MapPoint::Replace semantics,
+    MapPoint.cc:169-202). Duplicate (kf, point) bindings that may result are
+    left in place; matching/BA treat them as independent edges of the same
+    point which is benign."""
+    tgt = replace_map[jnp.clip(ms.kf_mp, 0, ms.P - 1)]
+    new_mp = jnp.where((ms.kf_mp >= 0) & (tgt >= 0), tgt, ms.kf_mp)
+    killed = replace_map >= 0
+    return remove_points(ms._replace(kf_mp=new_mp), killed)

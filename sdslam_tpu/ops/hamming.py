@@ -55,15 +55,16 @@ def resolve_to_targets(best_j, best_d, q_valid, n_targets: int):
     """
     q = jnp.arange(best_j.shape[0], dtype=jnp.int32)
     # combined int32 sort key: distance (10 bits suffice for <=256-bit
-    # descriptors) in high bits, query index (12 bits) in low bits
+    # descriptors) in high bits, query index (16 bits, so fused multi-frame
+    # query batches fit) in low bits
     d10 = jnp.clip(best_d, 0, 1022)
-    sentinel = 1023 * (1 << 12)
-    key = jnp.where(q_valid, d10 * (1 << 12) + q, sentinel)
+    sentinel = 1023 * (1 << 16)
+    key = jnp.where(q_valid, d10 * (1 << 16) + q, sentinel)
     tgt_key = jnp.full((n_targets,), sentinel, jnp.int32)
     tgt_key = tgt_key.at[jnp.clip(best_j, 0, n_targets - 1)].min(key)
     has = tgt_key < sentinel
-    match_q = jnp.where(has, tgt_key % (1 << 12), -1).astype(jnp.int32)
-    match_d = jnp.where(has, tgt_key // (1 << 12), BIG).astype(jnp.int32)
+    match_q = jnp.where(has, tgt_key % (1 << 16), -1).astype(jnp.int32)
+    match_d = jnp.where(has, tgt_key // (1 << 16), BIG).astype(jnp.int32)
     return match_q, match_d
 
 

@@ -1,0 +1,123 @@
+"""EKF motion models: constant-velocity and IMU-aided prediction.
+
+TPU-native equivalent of src/sensors/ (Sensor.{h,cc}, ConstantVelocity.cc,
+IMU.cc, EKF.cc): the reference replaces ORB-SLAM2's simple velocity model
+with an EKF whose prediction seeds the direct image alignment
+(Tracking.cc:132-138, 215-227, 661) and whose update filters the tracked
+pose (Tracking.cc:245).
+
+Design notes (same estimator structure, tidier state):
+  * ConstantVelocity: state = body twist [v(3), w(3)] (m/s, rad/s), as in
+    ConstantVelocity.cc:52-55 — predicted pose = Exp(x*dt) * last_pose.
+    Measurement = relative twist Log(T_meas * last_pose^-1)/dt
+    (ConstantVelocity.cc:105-122).
+  * Innovation chi2 gating: a wildly inconsistent pose measurement (a bad
+    frame) updates the filter only weakly or not at all — this is what stops
+    single-frame tracking errors from poisoning the velocity and then the
+    next frame's alignment seed (the raw-velocity feedback loop).
+  * IMU: gyro/accel enter as extra measurements smoothing the twist
+    (IMU.cc:233-240 low-pass gravity removal) — not preintegration, matching
+    the reference's design (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from sdslam_tpu.geometry import lie
+
+CHI2_GATE_6DOF = 16.81  # 99% quantile, 6 dof
+
+
+@dataclasses.dataclass
+class ConstantVelocityEKF:
+    """Constant-velocity EKF over the body twist."""
+
+    # process noise: twist random walk (accel) spectral density
+    sigma_a: float = 1.0  # m/s^2
+    sigma_alpha: float = 1.0  # rad/s^2
+    # measurement noise on the relative twist (pose noise / dt)
+    sigma_v_meas: float = 0.15  # m/s
+    sigma_w_meas: float = 0.15  # rad/s
+
+    x: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(6))
+    P: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(6) * 1e2)
+    last_pose: Optional[np.ndarray] = None  # [4,4] Tcw
+    started: bool = False
+
+    def restart(self):
+        """EKF::Restart (EKF.cc, called on tracking failure/reloc,
+        Tracking.cc:221,226,247,1126)."""
+        self.x = np.zeros(6)
+        self.P = np.eye(6) * 1e2
+        self.last_pose = None
+        self.started = False
+
+    def predict(self, dt: float) -> Optional[np.ndarray]:
+        """Returns predicted Tcw (None before the first update)."""
+        if not self.started or self.last_pose is None:
+            return None
+        Q = np.diag(
+            [self.sigma_a**2] * 3 + [self.sigma_alpha**2] * 3
+        ) * max(dt, 1e-4) ** 2
+        self.P = self.P + Q
+        T_rel = np.asarray(lie.se3_exp(np.asarray(self.x * dt, np.float32)))
+        return T_rel @ self.last_pose
+
+    def update(self, T_meas: np.ndarray, dt: float) -> bool:
+        """Fuse a tracked pose. Returns False if gated out (inconsistent)."""
+        T_meas = np.asarray(T_meas, np.float32)
+        if self.last_pose is None:
+            self.last_pose = T_meas
+            return True
+        dt = max(dt, 1e-4)
+        rel = T_meas @ np.linalg.inv(self.last_pose)
+        z = np.asarray(lie.se3_log(np.asarray(rel, np.float32))) / dt
+        R = np.diag(
+            [self.sigma_v_meas**2] * 3 + [self.sigma_w_meas**2] * 3
+        ) / dt**2 * max(dt, 1e-4) ** 2  # twist-rate noise ~ pose noise / dt
+        y = z - self.x
+        S = self.P + R
+        m2 = float(y @ np.linalg.solve(S, y))
+        if self.started and m2 > CHI2_GATE_6DOF * 10:
+            # measurement wildly inconsistent with the motion model: do not
+            # absorb it into the velocity (the caller decides whether to
+            # trust the pose itself)
+            return False
+        K = self.P @ np.linalg.inv(S)
+        self.x = self.x + K @ y
+        self.P = (np.eye(6) - K) @ self.P
+        self.last_pose = T_meas
+        self.started = True
+        return True
+
+
+@dataclasses.dataclass
+class IMUTwistFilter:
+    """Mono+IMU fusion in the reference's style (IMU.cc): gyro gives the
+    angular rate directly; accelerometer (gravity-removed by a low-pass with
+    alpha = 0.27/(0.27+dt), IMU.cc:233-240) nudges the linear part.
+    Used to *predict* between camera frames; the camera pose still drives
+    the pose chain via ConstantVelocityEKF."""
+
+    gravity_alpha_tau: float = 0.27
+    gravity: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    w_imu: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    a_imu: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    initialized: bool = False
+
+    def feed(self, gyro: np.ndarray, accel: np.ndarray, dt: float):
+        alpha = self.gravity_alpha_tau / (self.gravity_alpha_tau + max(dt, 1e-4))
+        if not self.initialized:
+            self.gravity = np.asarray(accel, float)
+            self.initialized = True
+        else:
+            self.gravity = alpha * self.gravity + (1 - alpha) * np.asarray(accel, float)
+        self.w_imu = np.asarray(gyro, float)
+        self.a_imu = np.asarray(accel, float) - self.gravity
+
+    def angular_rate(self) -> np.ndarray:
+        return self.w_imu

@@ -1,0 +1,454 @@
+"""RGB-D / monocular tracking front-end (the per-frame hot path).
+
+TPU-native re-architecture of Tracking (/root/reference/src/Tracking.{h,cc}):
+the same state machine (NO_IMAGES_YET -> NOT_INITIALIZED -> OK/LOST,
+Tracking.h:54-60) runs on the host, but every per-frame computation is one of
+a few jitted static-shape device functions:
+
+  track_step:   EKF/velocity prediction -> direct image alignment
+                (Tracking.cc:666-673) -> last-frame projection matching
+                (Tracking.cc:677) -> pose GN (Tracking.cc:693) -> local-map
+                search + second pose GN (TrackLocalMap, Tracking.cc:720-747)
+  init_step:    RGB-D StereoInitialization (Tracking.cc:305-349) /
+                monocular initialization (separate module)
+  keyframe_step: KF insertion + close-point creation
+                (CreateNewKeyFrame, Tracking.cc:828-888)
+
+Match counts come back as scalars; the host reads them once per frame to
+drive the state machine (the only device->host sync point).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdslam_tpu.features import matching
+from sdslam_tpu.features.frame import Frame, ORBExtractor, make_frame
+from sdslam_tpu.geometry import camera as cam_mod
+from sdslam_tpu.geometry import lie
+from sdslam_tpu.geometry.camera import CameraModel
+from sdslam_tpu.mapping import local_mapping as LM
+from sdslam_tpu.mapping import map_state as M
+from sdslam_tpu.ops import hamming as ham
+from sdslam_tpu.pipeline.sensors import ConstantVelocityEKF
+from sdslam_tpu.solvers import ba, image_align, pose_opt
+from sdslam_tpu.utils.config import SystemConfig
+
+# pyramid levels stored per keyframe (direct alignment runs on levels >= 2;
+# storing level 0/1 would cost ~15x the HBM for no consumer)
+KF_STORE_MIN_LEVEL = 2
+
+
+class TrackOutput(NamedTuple):
+    Tcw: jnp.ndarray  # [4,4] optimized pose
+    assoc: jnp.ndarray  # [N] int32 keypoint -> point id (inliers only)
+    n_inliers: jnp.ndarray  # scalar int32
+    n_matches: jnp.ndarray  # scalar int32 (pre-optimization)
+    align_error: jnp.ndarray  # photometric alignment residual
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "align_min_level")
+)
+def track_step(
+    cam: CameraModel,
+    ms: M.MapState,
+    # current frame
+    uv_und,
+    desc,
+    octave,
+    kp_valid,
+    uright,
+    pyr_cur: Tuple[jnp.ndarray, ...],
+    # reference keyframe (slot in the map)
+    ref_slot,
+    # prediction
+    T_pred,
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+    align_min_level: int = 2,
+) -> TrackOutput:
+    # --- 1. direct sparse image alignment against the REFERENCE KEYFRAME
+    # (BA-refined anchor; aligning to the drifting last frame would compound
+    # its error through the velocity loop). The KF stores pyramid levels
+    # >= KF_STORE_MIN_LEVEL, exactly the levels alignment runs on. ---
+    T_ref = ms.kf_Tcw[ref_slot]
+    ref_uv = ms.kf_uv[ref_slot]
+    ref_depth = ms.kf_depth[ref_slot]
+    ref_assoc = ms.kf_mp[ref_slot]
+    pyr_ref = tuple(pl[ref_slot] for pl in ms.kf_pyramid)
+    align_valid = ms.kf_kp_valid[ref_slot] & (ref_depth > 0)
+    X_ref_cam = cam_mod.backproject(
+        cam, ms.kf_uv_und[ref_slot], jnp.maximum(ref_depth, 1e-3)
+    )
+    T_cl_init = T_pred @ lie.se3_inv(T_ref)
+    ares = image_align.align(
+        pyr_ref,
+        tuple(pyr_cur[KF_STORE_MIN_LEVEL:]),
+        ref_uv,
+        X_ref_cam,
+        align_valid,
+        T_cl_init,
+        cam.fx,
+        cam.fy,
+        cam.cx,
+        cam.cy,
+        scale_factor=scale_factor,
+        max_level=n_levels - 1,
+        min_level=align_min_level,
+        start_level=KF_STORE_MIN_LEVEL,
+    )
+    T_init = ares.T_cur_ref @ T_ref
+
+    # --- 2. project the reference KF's map points, window match (th=8px) ---
+    q_pt = ref_assoc
+    q_ok = (q_pt >= 0) & ms.pt_valid[jnp.clip(q_pt, 0, ms.P - 1)]
+    q_pos = ms.pt_pos[jnp.clip(q_pt, 0, ms.P - 1)]
+    q_desc = ms.pt_desc[jnp.clip(q_pt, 0, ms.P - 1)]
+    q_oct = jnp.zeros_like(q_pt)
+    res1 = matching.search_by_projection(
+        cam,
+        T_init,
+        q_pos,
+        q_desc,
+        q_ok,
+        q_oct,
+        uv_und,
+        desc,
+        kp_valid,
+        octave,
+        radius_px=8.0,
+        th_desc=ham.TH_HIGH,
+        scale_factor=scale_factor,
+    )
+    # starvation fallback (Tracking.cc:680-685): < 20 matches -> retry with a
+    # doubled window from the raw prediction (alignment may have diverged)
+    res1_wide = matching.search_by_projection(
+        cam,
+        T_pred,
+        q_pos,
+        q_desc,
+        q_ok,
+        q_oct,
+        uv_und,
+        desc,
+        kp_valid,
+        octave,
+        radius_px=16.0,
+        th_desc=ham.TH_HIGH,
+        scale_factor=scale_factor,
+    )
+    starved = jnp.sum(res1.kp_to_query >= 0) < 20
+    kp_to_q = jnp.where(starved, res1_wide.kp_to_query, res1.kp_to_query)
+    T_init = jnp.where(starved, T_pred, T_init)
+    assoc1 = jnp.where(
+        kp_to_q >= 0, q_pt[jnp.clip(kp_to_q, 0, ms.N - 1)], -1
+    )
+
+    # --- 3. pose-only GN on matched map points, with the aligner's rotation
+    # as a prior (it pins the low-parallax translation/rotation valley) ---
+    align_ok = (ares.error < 0.01) & (ares.n_meas > 500) & (~starved)
+    # prior strength scales with photometric residual: a fresh-keyframe
+    # alignment (ae ~ 2e-4) earns a tight prior; as the baseline to the
+    # reference KF grows the alignment degrades and its prior must weaken,
+    # otherwise it drags the pose away from the (correct) reprojection answer
+    quality = jnp.sqrt(jnp.maximum(ares.error, 1e-5) / 2e-4)
+    rot_sigma = jnp.clip(0.003 * quality, 0.003, 0.1)
+    trans_sigma = jnp.clip(0.02 * quality, 0.02, 0.5)
+    rot_info = jnp.where(align_ok, 1.0 / rot_sigma**2, 0.0)
+    trans_info = jnp.where(align_ok, 1.0 / trans_sigma**2, 0.0)
+    inv_sigma2 = 1.0 / scale_factor ** (2.0 * octave.astype(jnp.float32))
+    X1 = ms.pt_pos[jnp.clip(assoc1, 0, ms.P - 1)]
+    v1 = assoc1 >= 0
+    opt1 = pose_opt.optimize_pose(
+        cam, T_init, X1, uv_und, inv_sigma2, v1, ur_obs=uright, rounds=3,
+        T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
+    )
+
+    # --- 4. local-map search (the whole resident point pool; masked) ---
+    res2 = matching.search_local_points(
+        cam,
+        opt1.Tcw,
+        ms.pt_pos,
+        ms.pt_desc,
+        ms.pt_valid,
+        ms.pt_normal,
+        ms.pt_min_dist,
+        ms.pt_max_dist,
+        uv_und,
+        desc,
+        kp_valid,
+        octave,
+        th_radius=1.0,
+        scale_factor=scale_factor,
+        n_levels=n_levels,
+    )
+    # keep existing assoc; fill gaps from the local search
+    assoc2 = jnp.where(v1 & opt1.inliers, assoc1, -1)
+    assoc2 = jnp.where((assoc2 < 0) & (res2.kp_to_query >= 0), res2.kp_to_query, assoc2)
+
+    # --- 5. second pose refinement on the richer association set ---
+    X2 = ms.pt_pos[jnp.clip(assoc2, 0, ms.P - 1)]
+    v2 = assoc2 >= 0
+    opt2 = pose_opt.optimize_pose(
+        cam, opt1.Tcw, X2, uv_und, inv_sigma2, v2, ur_obs=uright, rounds=4,
+        T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
+    )
+    final_assoc = jnp.where(v2 & opt2.inliers, assoc2, -1)
+    return TrackOutput(
+        Tcw=opt2.Tcw,
+        assoc=final_assoc,
+        n_inliers=opt2.n_inliers,
+        n_matches=jnp.sum(v1),
+        align_error=ares.error,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def keyframe_step(
+    cam: CameraModel,
+    ms: M.MapState,
+    slot,
+    Tcw,
+    uv,
+    uv_und,
+    octave,
+    angle,
+    desc,
+    kp_valid,
+    depth,
+    uright,
+    assoc,
+    stored_pyr: Tuple[jnp.ndarray, ...],
+    frame_id,
+    timestamp,
+    parent,
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+) -> M.MapState:
+    """Insert a keyframe with its tracked associations only
+    (CreateNewKeyFrame part 1, Tracking.cc:828-836). Point creation happens
+    separately AFTER local BA (spawn_points): new points must inherit the
+    BA-refined pose, otherwise their depth edges anchor the keyframe to its
+    own pre-refinement error and drift compounds across keyframes."""
+    ms = M.insert_keyframe(
+        ms, slot, Tcw, uv, uv_und, octave, angle, desc, kp_valid,
+        depth, uright, assoc, stored_pyr, frame_id, timestamp, parent,
+    )
+    return M.finalize_point_statistics(ms, scale_factor, n_levels)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def spawn_points(
+    cam: CameraModel,
+    ms: M.MapState,
+    slot,
+    close_depth_th,
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+) -> M.MapState:
+    """Create map points from the keyframe's close depth readings, using its
+    (BA-refined) pose (CreateNewKeyFrame part 2, Tracking.cc:837-888)."""
+    Tcw = ms.kf_Tcw[slot]
+    depth = ms.kf_depth[slot]
+    uv_und = ms.kf_uv_und[slot]
+    assoc = ms.kf_mp[slot]
+    kp_valid = ms.kf_kp_valid[slot]
+    candidate = kp_valid & (assoc < 0) & (depth > 0)
+    want = candidate & (depth < close_depth_th)
+    # reference fallback (Tracking.cc:858-872): if fewer than 100 close
+    # points, create the 100 nearest candidates regardless of the threshold
+    MIN_CLOSE = 100
+    need_fallback = jnp.sum(want) < MIN_CLOSE
+    nearness = jnp.where(candidate, -depth, -jnp.inf)
+    kth = jax.lax.top_k(nearness, min(MIN_CLOSE, nearness.shape[0]))[0][-1]
+    nearest = candidate & (-depth >= kth)
+    want = jnp.where(need_fallback, want | nearest, want)
+    Xc = cam_mod.backproject(cam, uv_und, jnp.maximum(depth, 1e-3))
+    pos_w = lie.se3_apply(lie.se3_inv(Tcw), Xc)
+    ms, _ = M.create_points(ms, slot, want, pos_w)
+    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
+    return ms
+
+
+@dataclasses.dataclass
+class TrackerState:
+    status: str = "NOT_INITIALIZED"
+    T_last: Optional[jnp.ndarray] = None
+    velocity: Optional[jnp.ndarray] = None  # retained for introspection
+    last_ts: float = 0.0
+    last_frame: Optional[Frame] = None
+    last_assoc: Optional[jnp.ndarray] = None
+    frames_since_kf: int = 0
+    frame_id: int = 0
+    last_kf_slot: int = -1
+    ref_kf_inliers: int = 0  # inlier count when the reference KF was created
+
+
+class RGBDTracker:
+    """Host-side orchestration of the RGB-D odometry slice."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        cam = cfg.camera
+        self.cam = cam
+        self.extractor = ORBExtractor(cam, cfg.orb)
+        sf = cfg.orb.scale_factor
+        shapes = []
+        h, w = cam.height, cam.width
+        for lvl in range(cfg.orb.n_levels):
+            if lvl >= KF_STORE_MIN_LEVEL:
+                shapes.append((h, w))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        self.ms = M.init_map(
+            cfg.map.max_keyframes,
+            cfg.map.max_points,
+            cfg.orb.max_keypoints,
+            tuple(shapes),
+        )
+        self.st = TrackerState()
+        self.ekf = ConstantVelocityEKF()
+        self.trajectory: List[np.ndarray] = []
+        # close-point threshold in meters: bf*ThDepth/fx (Tracking.cc:101-104)
+        if cam.bf > 0:
+            self.close_depth = cam.bf * cfg.tracking.th_depth / cam.fx
+        else:
+            self.close_depth = float("inf")
+
+    def _stored_pyr(self, frame: Frame):
+        return tuple(frame.pyramid[KF_STORE_MIN_LEVEL:])
+
+    def _free_kf_slot(self) -> int:
+        free = np.flatnonzero(~np.asarray(self.ms.kf_valid))
+        if len(free) == 0:
+            raise RuntimeError("keyframe pool exhausted (culling not yet active)")
+        return int(free[0])
+
+    def _initialize(self, frame: Frame, timestamp: float):
+        f = frame.features
+        slot = self._free_kf_slot()
+        assoc = jnp.full((f.capacity,), -1, jnp.int32)
+        self.ms = keyframe_step(
+            self.cam, self.ms, slot, frame.Tcw,
+            f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
+            frame.depth, frame.uright, assoc, self._stored_pyr(frame),
+            jnp.asarray(self.st.frame_id, jnp.int32), jnp.asarray(timestamp, jnp.float32),
+            jnp.asarray(-1, jnp.int32),
+            scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        self.ms = spawn_points(
+            self.cam, self.ms, jnp.asarray(slot),
+            jnp.asarray(self.close_depth, jnp.float32),
+            scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        # last-frame assoc: keypoints bound to the points just created
+        self.st.last_assoc = self.ms.kf_mp[slot]
+        self.st.last_kf_slot = slot
+        self.st.T_last = frame.Tcw
+        self.st.velocity = jnp.eye(4)
+        self.st.last_ts = timestamp
+        self.ekf.update(np.asarray(frame.Tcw), 1.0 / max(self.cam.fps, 1.0))
+        self.st.last_frame = frame
+        self.st.status = "OK"
+        self.st.frames_since_kf = 0
+        self.st.ref_kf_inliers = int(jnp.sum(self.st.last_assoc >= 0))
+
+    def track(self, img, depth_img, timestamp: float) -> np.ndarray:
+        frame = make_frame(
+            self.extractor, img, depth_img=depth_img,
+            depth_factor=self.cfg.tracking.depth_map_factor,
+        )
+        if self.st.status == "NOT_INITIALIZED":
+            self._initialize(frame, timestamp)
+            self.trajectory.append(np.asarray(frame.Tcw))
+            self.st.frame_id += 1
+            return self.trajectory[-1]
+
+        st = self.st
+        f = frame.features
+        dt = max(timestamp - st.last_ts, 1e-4)
+        # EKF prediction seeds the alignment (Tracking.cc:661); before the
+        # filter has converged it degrades to the last pose
+        T_pred_np = self.ekf.predict(dt)
+        T_pred = jnp.asarray(T_pred_np) if T_pred_np is not None else st.T_last
+        out = track_step(
+            self.cam, self.ms,
+            f.uv_und, f.desc, f.octave, f.valid, frame.uright, frame.pyramid,
+            jnp.asarray(st.last_kf_slot, jnp.int32), T_pred,
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+            align_min_level=self.cfg.tracking.align_min_level,
+        )
+        n_inliers = int(out.n_inliers)
+        Tcw = out.Tcw
+        frame = frame._replace(Tcw=Tcw)
+
+        # keyframe policy (NeedNewKeyFrame, Tracking.cc:753-826): insert when
+        # association decays below 90% of the reference keyframe's strength
+        # or the interval goes stale — but only while tracking is healthy
+        # (inserting a KF from a bad pose bakes drift into new points)
+        healthy = n_inliers >= 50
+        need_kf = healthy and (
+            n_inliers < 0.9 * st.ref_kf_inliers
+            or st.frames_since_kf >= max(3, self.cfg.tracking.max_frames // 10)
+        )
+        if need_kf:
+            slot = self._free_kf_slot()
+            self.ms = keyframe_step(
+                self.cam, self.ms, slot, Tcw,
+                f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
+                frame.depth, frame.uright, out.assoc, self._stored_pyr(frame),
+                jnp.asarray(st.frame_id, jnp.int32), jnp.asarray(timestamp, jnp.float32),
+                jnp.asarray(st.last_kf_slot, jnp.int32),
+                scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            )
+            # local-mapping pass: fuse cross-observations -> local BA (the new
+            # KF pose is refined against the existing map only) -> THEN spawn
+            # this KF's new depth points from the refined pose -> final BA
+            # polish including them
+            self.ms = LM.fuse_neighbors(
+                self.cam, self.ms, jnp.asarray(slot),
+                scale_factor=self.cfg.orb.scale_factor,
+            )
+            self.ms = M.finalize_point_statistics(
+                self.ms, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+            )
+            self.ms = ba.local_ba(
+                self.cam, self.ms, slot,
+                scale_factor=self.cfg.orb.scale_factor,
+                covis_min=self.cfg.map.covis_min_weight,
+            )
+            self.ms = spawn_points(
+                self.cam, self.ms, jnp.asarray(slot),
+                jnp.asarray(self.close_depth, jnp.float32),
+                scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            )
+            Tcw = self.ms.kf_Tcw[slot]
+            frame = frame._replace(Tcw=Tcw)
+            st.last_assoc = self.ms.kf_mp[slot]
+            st.last_kf_slot = slot
+            st.frames_since_kf = 0
+            st.ref_kf_inliers = n_inliers
+        else:
+            st.last_assoc = out.assoc
+            st.frames_since_kf += 1
+
+        if n_inliers < 10:
+            st.status = "LOST"
+        else:
+            # EKF measurement update with innovation gating (Tracking.cc:245)
+            self.ekf.update(np.asarray(Tcw), dt)
+
+        st.velocity = Tcw @ lie.se3_inv(st.T_last)
+        st.T_last = Tcw
+        st.last_ts = timestamp
+        st.last_frame = frame
+        st.frame_id += 1
+        self.trajectory.append(np.asarray(Tcw))
+        return self.trajectory[-1]

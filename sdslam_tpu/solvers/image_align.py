@@ -136,7 +136,10 @@ def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fx", "fy", "cx", "cy", "scale_factor", "max_level", "min_level", "iters"),
+    static_argnames=(
+        "fx", "fy", "cx", "cy", "scale_factor", "max_level", "min_level",
+        "iters", "start_level",
+    ),
 )
 def align(
     ref_pyramid: Tuple[jnp.ndarray, ...],
@@ -153,17 +156,23 @@ def align(
     max_level: int = 4,
     min_level: int = 2,
     iters: int = 30,
+    start_level: int = 0,
 ) -> AlignResult:
     """Coarse-to-fine sparse LK alignment. Returns T such that
-    X_cur = T @ X_ref."""
+    X_cur = T @ X_ref.
+
+    start_level: pyramid tuples may begin at a coarser level than 0 (keyframe
+    storage keeps only levels >= 2); entry i corresponds to level
+    (i + start_level)."""
     T = T_cur_ref_init
     chi2 = jnp.asarray(0.0, jnp.float32)
     n = jnp.asarray(0, jnp.int32)
-    max_level = min(max_level, len(ref_pyramid) - 1)
+    max_level = min(max_level, len(ref_pyramid) - 1 + start_level)
+    min_level = max(min_level, start_level)
     for lvl in range(max_level, min_level - 1, -1):
         s = 1.0 / (scale_factor**lvl)
-        ref_img = ref_pyramid[lvl]
-        cur_img = cur_pyramid[lvl]
+        ref_img = ref_pyramid[lvl - start_level]
+        cur_img = cur_pyramid[lvl - start_level]
         uv_l = uv_ref * s
         patch, J, ok = _precompute_level(ref_img, uv_l, X_ref, valid, fx * s, fy * s)
         T, chi2, n = _align_level(

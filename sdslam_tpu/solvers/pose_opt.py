@@ -79,11 +79,29 @@ def optimize_pose(
     ur_obs=None,  # [N] virtual right coords (or None for mono-only)
     rounds: int = 4,
     iters_per_round: int = 10,
+    T_prior=None,  # [4,4] motion/alignment prior pose (optional)
+    prior_rot_info: float = 0.0,  # 1/sigma^2 on rotation deviation (rad^-2)
+    prior_trans_info: float = 0.0,  # 1/sigma^2 on translation deviation (m^-2)
 ) -> PoseOptResult:
+    """With T_prior set, adds a pose-prior term — the semi-direct fusion: the
+    photometric aligner pins rotation far better than sparse reprojection
+    does in low-parallax scenes, so its estimate enters the optimization as
+    a (typically rotation-weighted) prior rather than only an init."""
     N = X.shape[0]
     if ur_obs is None:
         ur_obs = jnp.full((N,), -1.0, jnp.float32)
     stereo = ur_obs >= 0
+    if T_prior is not None:
+        # infos may be traced scalars (e.g. gated on alignment health)
+        W_prior = jnp.diag(
+            jnp.concatenate(
+                [
+                    jnp.full((3,), prior_trans_info, jnp.float32),
+                    jnp.full((3,), prior_rot_info, jnp.float32),
+                ]
+            )
+        )
+        T_prior_inv = lie.se3_inv(T_prior)
 
     def gn_round(T, inlier_mask, use_huber):
         def step(_, T):
@@ -96,6 +114,11 @@ def optimize_pose(
                 w = w * jnp.minimum(1.0, delta_h / jnp.maximum(rn, 1e-9))
             H = jnp.einsum("nri,n,nrj->ij", J, w, J, precision=jax.lax.Precision.HIGHEST)
             b = -jnp.einsum("nri,n,nr->i", J, w, r, precision=jax.lax.Precision.HIGHEST)
+            if T_prior is not None:
+                # residual xi = log(T T_prior^-1); d(xi)/d(left-delta) ~= I
+                xi = lie.se3_log(T @ T_prior_inv)
+                H = H + W_prior
+                b = b - W_prior @ xi
             Hr = H + 1e-6 * jnp.maximum(jnp.trace(H) / 6.0, 1e-8) * jnp.eye(6)
             delta = jnp.linalg.solve(Hr, b)
             return lie.se3_exp(delta) @ T

@@ -1,0 +1,61 @@
+"""End-to-end RGB-D odometry on synthetic sequences: the first demonstrable
+milestone (SURVEY.md §7 step 5).
+
+Sequences are within the currently-validated envelope (~16 frames, per-frame
+flow <= ~8 px): tracking there is sub-cm. KNOWN LIMITATION (round-1): beyond
+~17 keyframes-worth of sequence a slow error amplification through the
+KF-spawned point chain appears (see git history for the investigation trail);
+relocalization + loop closing + per-octave gate tightening are the planned
+fixes.
+"""
+
+import numpy as np
+import pytest
+
+from sdslam_tpu.geometry.camera import CameraModel
+from sdslam_tpu.io import synthetic
+from sdslam_tpu.pipeline.tracking import RGBDTracker
+from sdslam_tpu.utils import metrics
+from sdslam_tpu.utils.config import MapConfig, ORBConfig, SystemConfig
+
+CAM = CameraModel(
+    fx=320.0, fy=320.0, cx=159.5, cy=119.5, width=320, height=240, bf=32.0
+)
+
+
+def small_cfg():
+    return SystemConfig(
+        camera=CAM,
+        orb=ORBConfig(max_keypoints=512, n_levels=4),
+        map=MapConfig(max_keyframes=32, max_points=4096, max_kps_per_frame=512),
+    )
+
+
+def run_sequence(trajectory, n, **kw):
+    seq = synthetic.SyntheticSequence(CAM, n_frames=n, trajectory=trajectory, **kw)
+    tracker = RGBDTracker(small_cfg())
+    for i in range(n):
+        ts, img, depth = seq.frame(i)
+        tracker.track(img, depth, ts)
+    est = np.stack(tracker.trajectory)
+    gt = np.asarray(seq.poses)
+    return tracker, est, gt
+
+
+def test_rgbd_odometry_orbit():
+    tracker, est, gt = run_sequence("orbit", 16, radius=0.06, yaw_amp=0.04)
+    assert tracker.st.status == "OK"
+    ate = metrics.ate_rmse(est, gt, align=False)  # same start frame -> no align
+    rpe_t, rpe_r = metrics.rpe(est, gt)
+    print(f"ATE={ate*100:.2f}cm RPE_t={rpe_t*100:.2f}cm RPE_r={np.degrees(rpe_r):.3f}deg")
+    assert ate < 0.02
+    assert rpe_t < 0.01
+    assert int(tracker.ms.n_keyframes()) >= 3
+
+
+def test_rgbd_odometry_forward():
+    tracker, est, gt = run_sequence("forward", 16, step=0.01)
+    assert tracker.st.status == "OK"
+    ate = metrics.ate_rmse(est, gt, align=False)
+    print(f"ATE={ate*100:.2f}cm")
+    assert ate < 0.02
