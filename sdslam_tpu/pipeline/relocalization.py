@@ -1,0 +1,149 @@
+"""Relocalization: recover a lost camera against the whole keyframe pool.
+
+Reference behavior (Tracking::Relocalization, Tracking.cc:1064-1097): iterate
+keyframes newest->oldest, run fast direct image alignment (100 points,
+early-exit error > 0.01, ImageAlign.cc:106-164), then projection matching
+(>= 20 matches) and pose optimization (>= 10 inliers).
+
+TPU-native shape: the O(N_KF) sequential scan becomes ONE batched alignment —
+vmap the coarse-level aligner over every valid keyframe simultaneously, rank
+candidates by photometric error, then verify the best few with matching +
+pose GN. No vocabulary (the reference dropped DBoW2; so do we).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdslam_tpu.features import matching
+from sdslam_tpu.geometry import camera as cam_mod
+from sdslam_tpu.geometry import lie
+from sdslam_tpu.geometry.camera import CameraModel
+from sdslam_tpu.mapping import map_state as M
+from sdslam_tpu.ops import hamming as ham
+from sdslam_tpu.solvers import image_align, pose_opt
+
+RELOC_ALIGN_MAX_ERROR = 0.01  # fast-mode accept threshold (ImageAlign.cc:36-39)
+
+
+class RelocResult(NamedTuple):
+    success: jnp.ndarray  # bool scalar
+    Tcw: jnp.ndarray  # [4,4]
+    assoc: jnp.ndarray  # [N] keypoint -> point id
+    n_inliers: jnp.ndarray
+    best_kf: jnp.ndarray  # int32 slot of the matched keyframe
+    align_errors: jnp.ndarray  # [K] per-keyframe photometric errors
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "n_levels", "store_min_level", "n_verify"),
+)
+def relocalize(
+    cam: CameraModel,
+    ms: M.MapState,
+    uv_und,  # current frame keypoints (undistorted)
+    desc,
+    octave,
+    kp_valid,
+    uright,
+    pyr_cur: Tuple[jnp.ndarray, ...],  # full pyramid of the current frame
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+    store_min_level: int = 2,
+    n_verify: int = 3,
+) -> RelocResult:
+    """Batched alignment against every keyframe, then verify top candidates."""
+    K = ms.K
+    cur_sub = tuple(pyr_cur[store_min_level:])
+
+    def align_one(slot):
+        ref_uv = ms.kf_uv[slot]
+        ref_depth = ms.kf_depth[slot]
+        valid = ms.kf_kp_valid[slot] & (ref_depth > 0) & (ms.kf_mp[slot] >= 0)
+        X_ref = cam_mod.backproject(
+            cam, ms.kf_uv_und[slot], jnp.maximum(ref_depth, 1e-3)
+        )
+        pyr_ref = tuple(pl[slot] for pl in ms.kf_pyramid)
+        res = image_align.align(
+            pyr_ref,
+            cur_sub,
+            ref_uv,
+            X_ref,
+            valid,
+            jnp.eye(4),  # seed: same pose as the keyframe (Tracking.cc:1073)
+            cam.fx,
+            cam.fy,
+            cam.cx,
+            cam.cy,
+            scale_factor=scale_factor,
+            max_level=n_levels - 1,
+            min_level=n_levels - 2,  # coarse-only fast mode
+            iters=15,
+            start_level=store_min_level,
+        )
+        return res.T_cur_ref, res.error
+
+    T_rels, errors = jax.vmap(align_one)(jnp.arange(K))
+    errors = jnp.where(ms.kf_valid, errors, jnp.inf)
+
+    # verify the best n_verify candidates with matching + pose optimization
+    order = jnp.argsort(errors)[:n_verify]
+
+    inv_sigma2 = 1.0 / scale_factor ** (2.0 * octave.astype(jnp.float32))
+
+    def verify_one(slot):
+        T_init = T_rels[slot] @ ms.kf_Tcw[slot]
+        q_pt = ms.kf_mp[slot]
+        q_ok = (q_pt >= 0) & ms.pt_valid[jnp.clip(q_pt, 0, ms.P - 1)]
+        res = matching.search_by_projection(
+            cam,
+            T_init,
+            ms.pt_pos[jnp.clip(q_pt, 0, ms.P - 1)],
+            ms.pt_desc[jnp.clip(q_pt, 0, ms.P - 1)],
+            q_ok,
+            jnp.zeros_like(q_pt),
+            uv_und,
+            desc,
+            kp_valid,
+            octave,
+            radius_px=8.0,
+            th_desc=ham.TH_HIGH,
+            scale_factor=scale_factor,
+        )
+        assoc = jnp.where(
+            res.kp_to_query >= 0, q_pt[jnp.clip(res.kp_to_query, 0, ms.N - 1)], -1
+        )
+        n_matches = jnp.sum(assoc >= 0)
+        opt = pose_opt.optimize_pose(
+            cam,
+            T_init,
+            ms.pt_pos[jnp.clip(assoc, 0, ms.P - 1)],
+            uv_und,
+            inv_sigma2,
+            assoc >= 0,
+            ur_obs=uright,
+            rounds=4,
+        )
+        ok = (n_matches >= 20) & (opt.n_inliers >= 10) & (
+            errors[slot] < RELOC_ALIGN_MAX_ERROR * 3
+        )
+        final = jnp.where((assoc >= 0) & opt.inliers, assoc, -1)
+        return ok, opt.Tcw, final, opt.n_inliers
+
+    oks, Ts, assocs, inls = jax.vmap(verify_one)(order)
+    # pick the verified candidate with most inliers
+    score = jnp.where(oks, inls, -1)
+    best = jnp.argmax(score)
+    return RelocResult(
+        success=score[best] > 0,
+        Tcw=Ts[best],
+        assoc=assocs[best],
+        n_inliers=inls[best],
+        best_kf=order[best],
+        align_errors=errors,
+    )

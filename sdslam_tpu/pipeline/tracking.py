@@ -36,6 +36,7 @@ from sdslam_tpu.geometry.camera import CameraModel
 from sdslam_tpu.mapping import local_mapping as LM
 from sdslam_tpu.mapping import map_state as M
 from sdslam_tpu.ops import hamming as ham
+from sdslam_tpu.pipeline.relocalization import relocalize
 from sdslam_tpu.pipeline.sensors import ConstantVelocityEKF
 from sdslam_tpu.solvers import ba, image_align, pose_opt
 from sdslam_tpu.utils.config import SystemConfig
@@ -373,6 +374,33 @@ class RGBDTracker:
         st = self.st
         f = frame.features
         dt = max(timestamp - st.last_ts, 1e-4)
+
+        if st.status == "LOST":
+            # recovery via batched relocalization against all keyframes
+            # (Tracking.cc:1064-1097; the O(N_KF) scan is one vmapped align)
+            rr = relocalize(
+                self.cam, self.ms,
+                f.uv_und, f.desc, f.octave, f.valid, frame.uright, frame.pyramid,
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                store_min_level=KF_STORE_MIN_LEVEL,
+            )
+            if bool(rr.success):
+                Tcw = rr.Tcw
+                frame = frame._replace(Tcw=Tcw)
+                st.status = "OK"
+                st.last_kf_slot = int(rr.best_kf)
+                st.last_assoc = rr.assoc
+                st.T_last = Tcw
+                st.last_ts = timestamp
+                st.last_frame = frame
+                st.frames_since_kf = 0
+                self.ekf.restart()
+                self.ekf.update(np.asarray(Tcw), dt)
+            # while lost, report the last known pose
+            st.frame_id += 1
+            self.trajectory.append(np.asarray(frame.Tcw if bool(rr.success) else st.T_last))
+            return self.trajectory[-1]
         # EKF prediction seeds the alignment (Tracking.cc:661); before the
         # filter has converged it degrades to the last pose
         T_pred_np = self.ekf.predict(dt)
@@ -441,6 +469,7 @@ class RGBDTracker:
 
         if n_inliers < 10:
             st.status = "LOST"
+            self.ekf.restart()
         else:
             # EKF measurement update with innovation gating (Tracking.cc:245)
             self.ekf.update(np.asarray(Tcw), dt)
