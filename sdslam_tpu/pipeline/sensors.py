@@ -26,10 +26,46 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+from scipy.spatial.transform import Rotation as _R
 
-from sdslam_tpu.geometry import lie
+CHI2_GATE_6DOF = 16.81
 
-CHI2_GATE_6DOF = 16.81  # 99% quantile, 6 dof
+
+def _np_se3_exp(xi: np.ndarray) -> np.ndarray:
+    """numpy SE3 exp (host-side filter math must not dispatch eager jnp ops
+    per frame — eager dispatch overhead dominated per-frame latency)."""
+    rho, phi = xi[:3], xi[3:]
+    R = _R.from_rotvec(phi).as_matrix()
+    th2 = float(phi @ phi)
+    K = np.array([[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]], [-phi[1], phi[0], 0]])
+    if th2 < 1e-10:
+        V = np.eye(3) + 0.5 * K
+    else:
+        th = np.sqrt(th2)
+        V = (
+            np.eye(3)
+            + (1 - np.cos(th)) / th2 * K
+            + (th - np.sin(th)) / (th2 * th) * (K @ K)
+        )
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ rho
+    return T
+
+
+def _np_se3_log(T: np.ndarray) -> np.ndarray:
+    R = T[:3, :3]
+    phi = _R.from_matrix(R).as_rotvec()
+    th2 = float(phi @ phi)
+    K = np.array([[0, -phi[2], phi[1]], [phi[2], 0, -phi[0]], [-phi[1], phi[0], 0]])
+    if th2 < 1e-10:
+        Vinv = np.eye(3) - 0.5 * K
+    else:
+        th = np.sqrt(th2)
+        half = 0.5 * th
+        cot = half * np.cos(half) / np.sin(half)
+        Vinv = np.eye(3) - 0.5 * K + (1 - cot) / th2 * (K @ K)
+    return np.concatenate([Vinv @ T[:3, 3], phi])
 
 
 @dataclasses.dataclass
@@ -64,8 +100,7 @@ class ConstantVelocityEKF:
             [self.sigma_a**2] * 3 + [self.sigma_alpha**2] * 3
         ) * max(dt, 1e-4) ** 2
         self.P = self.P + Q
-        T_rel = np.asarray(lie.se3_exp(np.asarray(self.x * dt, np.float32)))
-        return T_rel @ self.last_pose
+        return (_np_se3_exp(self.x * dt) @ self.last_pose).astype(np.float32)
 
     def update(self, T_meas: np.ndarray, dt: float) -> bool:
         """Fuse a tracked pose. Returns False if gated out (inconsistent)."""
@@ -75,7 +110,7 @@ class ConstantVelocityEKF:
             return True
         dt = max(dt, 1e-4)
         rel = T_meas @ np.linalg.inv(self.last_pose)
-        z = np.asarray(lie.se3_log(np.asarray(rel, np.float32))) / dt
+        z = _np_se3_log(rel.astype(np.float64)) / dt
         R = np.diag(
             [self.sigma_v_meas**2] * 3 + [self.sigma_w_meas**2] * 3
         ) / dt**2 * max(dt, 1e-4) ** 2  # twist-rate noise ~ pose noise / dt

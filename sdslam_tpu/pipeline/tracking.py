@@ -474,7 +474,6 @@ class RGBDTracker:
             # EKF measurement update with innovation gating (Tracking.cc:245)
             self.ekf.update(np.asarray(Tcw), dt)
 
-        st.velocity = Tcw @ lie.se3_inv(st.T_last)
         st.T_last = Tcw
         st.last_ts = timestamp
         st.last_frame = frame

@@ -128,16 +128,21 @@ def _gn_iteration(
     wJp = Jp * w[..., None, None]
     hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
+    # one-hot camera indicator U[p,m,k]: all edge->camera reductions become
+    # matmuls on the MXU (scatter-add assembly serializes on TPU and was the
+    # dominant BA cost; the Schur pair term factors per point, so
+    # S[a,b] = sum_p YU[p,a] @ WU[p,b]^T needs no [P,M,M] blocks at all)
+    U = (c[..., None] == jnp.arange(K)[None, None, :]).astype(jnp.float32)
+    U = U * ok[..., None]  # masked edges contribute nothing
+
     # per-point 3x3 and gradient
     Hpp = hp("pmri,pmrj->pij", wJp, Jp)  # [P,3,3]
     bp = -hp("pmri,pmr->pi", wJp, r)  # [P,3]
-    # per-camera 6x6 and gradient via scatter over edges
+    # per-camera 6x6 and gradient
     Hcc_e = hp("pmri,pmrj->pmij", wJc, Jc)  # [P,M,6,6]
     bc_e = -hp("pmri,pmr->pmi", wJc, r)  # [P,M,6]
-    Hcc = jnp.zeros((K, 6, 6), jnp.float32).at[c.ravel()].add(
-        Hcc_e.reshape(-1, 6, 6)
-    )
-    bc = jnp.zeros((K, 6), jnp.float32).at[c.ravel()].add(bc_e.reshape(-1, 6))
+    Hcc = hp("pmk,pmij->kij", U, Hcc_e)  # [K,6,6]
+    bc = hp("pmk,pmi->ki", U, bc_e)  # [K,6]
     # coupling blocks W = Jc^T w Jp per edge
     W = hp("pmri,pmrj->pmij", wJc, Jp)  # [P,M,6,3]
 
@@ -149,18 +154,13 @@ def _gn_iteration(
     Hpp_inv = jnp.linalg.inv(Hpp_d)
     Y = hp("pmij,pjk->pmik", W, Hpp_inv)  # [P,M,6,3]
 
-    # Schur assembly: S[c_i, c_j] -= Y_i W_j^T for all pairs within a point
-    pair = hp("pmik,pnjk->pmnij", Y, W)  # [P,M,M,6,6]
-    ci = jnp.broadcast_to(c[:, :, None], (P, Mo, Mo))
-    cj = jnp.broadcast_to(c[:, None, :], (P, Mo, Mo))
-    S = jnp.zeros((K * K, 6, 6), jnp.float32).at[(ci * K + cj).ravel()].add(
-        (-pair).reshape(-1, 6, 6)
-    )
-    S = S.reshape(K, K, 6, 6)
+    # Schur assembly via per-point camera aggregates
+    YU = hp("pmk,pmic->pkic", U, Y)  # [P,K,6,3]
+    WU = hp("pmk,pmic->pkic", U, W)  # [P,K,6,3]
+    S = -hp("paic,pbjc->abij", YU, WU)  # [K,K,6,6]
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
     # reduced gradient: bs = bc - sum_i Y_i bp
-    bs_e = hp("pmik,pk->pmi", Y, bp)
-    bs = bc - jnp.zeros((K, 6), jnp.float32).at[c.ravel()].add(bs_e.reshape(-1, 6))
+    bs = bc - hp("pkic,pc->ki", YU, bp)
 
     # camera damping + fixed-camera prior
     diag_scale = jnp.maximum(
@@ -179,7 +179,8 @@ def _gn_iteration(
     dc = dc * cam_active[:, None]
 
     # landmark back-substitution: dp = Hpp^-1 (bp - sum_m W_m^T dc_m)
-    Wt_dc = hp("pmij,pmi->pj", W, dc[c])
+    dc_pm = hp("pmk,ki->pmi", U, dc)  # gather-free per-edge camera updates
+    Wt_dc = hp("pmij,pmi->pj", W, dc_pm)
     dp = hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
 
     kf_Tcw_new = jnp.where(
