@@ -198,3 +198,123 @@ def cull_keyframes(
     best = jnp.argmax(jnp.where(candidate, ratio, -1.0))
     kill = jnp.zeros((ms.K,), bool).at[best].set(jnp.any(candidate))
     return M.remove_keyframes(ms, kill)
+
+
+def _fundamental_from_poses(cam: CameraModel, T1w, T2w):
+    """F12 such that x2^T F12 x1 = 0 (ComputeF12, LocalMapping.cc:~470)."""
+    # F maps image-1 points to epipolar lines in image 2: built from the
+    # relative transform T21 = T2w * T1w^-1
+    T21 = T2w @ lie.se3_inv(T1w)
+    R21 = T21[:3, :3]
+    t21 = T21[:3, 3]
+    K = cam.K
+    Kinv = jnp.linalg.inv(K)
+    E = lie.hat(t21) @ R21
+    return Kinv.T @ E @ Kinv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "n_neighbors")
+)
+def triangulate_new_points(
+    cam: CameraModel,
+    ms: M.MapState,
+    kf_slot,
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+    n_neighbors: int = 4,
+    th_desc: int = ham.TH_LOW,
+) -> M.MapState:
+    """Epipolar-search triangulation against covisible neighbors
+    (CreateNewMapPoints, LocalMapping.cc:190-420): unbound keypoints of the
+    new keyframe are matched along epipolar lines to unbound keypoints of
+    each neighbor, DLT-triangulated, and gated by cheirality, parallax,
+    reprojection and scale consistency.
+
+    This is how a MONOCULAR map grows; RGB-D uses it in addition to direct
+    depth spawning (far points beyond the depth range)."""
+    from sdslam_tpu.solvers.initializer import triangulate as dlt
+
+    K_mat = cam.K
+    cov = M.covisibility(ms)
+    w = cov[kf_slot].at[kf_slot].set(-1)
+    _, neigh = jax.lax.top_k(w, n_neighbors)
+    neigh_ok_arr = jnp.take(w, neigh) > 0
+
+    T1 = ms.kf_Tcw[kf_slot]
+    uv1 = ms.kf_uv_und[kf_slot]
+    d1 = ms.kf_desc[kf_slot]
+    oct1 = ms.kf_octave[kf_slot]
+
+    for i in range(n_neighbors):
+        nb = neigh[i]
+        T2 = ms.kf_Tcw[nb]
+        # baseline vs scene depth gate (LocalMapping.cc:221-235)
+        b = jnp.linalg.norm(lie.se3_t(lie.se3_inv(T1)) - lie.se3_t(lie.se3_inv(T2)))
+        free1 = ms.kf_kp_valid[kf_slot] & (ms.kf_mp[kf_slot] < 0)
+        free2 = ms.kf_kp_valid[nb] & (ms.kf_mp[nb] < 0)
+        F12 = _fundamental_from_poses(cam, T1, T2)
+        # epipolar distance of every candidate pair [N1, N2]
+        ones = jnp.ones((ms.N, 1))
+        p1h = jnp.concatenate([uv1, ones], -1)
+        p2h = jnp.concatenate([ms.kf_uv_und[nb], ones], -1)
+        lines2 = p1h @ F12.T  # line of kp1 in image 2
+        num = jnp.abs(jnp.einsum("ni,mi->nm", lines2, p2h))  # [N1,N2]
+        den = jnp.sqrt(
+            jnp.maximum(lines2[:, 0] ** 2 + lines2[:, 1] ** 2, 1e-9)
+        )[:, None]
+        epi_d = num / den
+        sigma2 = scale_factor ** (2.0 * ms.kf_octave[nb].astype(jnp.float32))
+        mask = (
+            free1[:, None]
+            & free2[None, :]
+            & (epi_d < 3.84 * jnp.sqrt(sigma2)[None, :])
+        )
+        dist = ham.masked_dist(d1, ms.kf_desc[nb], mask)
+        dbest, jbest, d2nd = ham.best2(dist)
+        okm = free1 & (dbest <= th_desc)
+        j = jnp.clip(jbest, 0, ms.N - 1)
+
+        # triangulate candidate pairs
+        P1 = K_mat @ T1[:3, :4]
+        P2 = K_mat @ T2[:3, :4]
+        Xw = dlt(P1, P2, uv1, ms.kf_uv_und[nb][j])
+        Xc1 = lie.se3_apply(T1, Xw)
+        Xc2 = lie.se3_apply(T2, Xw)
+        z1, z2 = Xc1[:, 2], Xc2[:, 2]
+        # parallax
+        O1 = lie.se3_t(lie.se3_inv(T1))
+        O2 = lie.se3_t(lie.se3_inv(T2))
+        r1 = Xw - O1
+        r2 = Xw - O2
+        cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
+        )
+        # reprojection gates
+        u1 = cam.fx * Xc1[:, 0] / jnp.maximum(z1, 1e-9) + cam.cx
+        v1 = cam.fy * Xc1[:, 1] / jnp.maximum(z1, 1e-9) + cam.cy
+        u2 = cam.fx * Xc2[:, 0] / jnp.maximum(z2, 1e-9) + cam.cx
+        v2 = cam.fy * Xc2[:, 1] / jnp.maximum(z2, 1e-9) + cam.cy
+        e1 = (u1 - uv1[:, 0]) ** 2 + (v1 - uv1[:, 1]) ** 2
+        e2 = (u2 - ms.kf_uv_und[nb][j, 0]) ** 2 + (v2 - ms.kf_uv_und[nb][j, 1]) ** 2
+        s1 = scale_factor ** (2.0 * oct1.astype(jnp.float32))
+        s2 = scale_factor ** (2.0 * ms.kf_octave[nb][j].astype(jnp.float32))
+        good = (
+            okm
+            & neigh_ok_arr[i]
+            & (z1 > 0.05)
+            & (z2 > 0.05)
+            & (cosp < 0.9998)
+            & (e1 < 5.991 * s1)
+            & (e2 < 5.991 * s2)
+            & (b > 0.01)  # need real baseline
+        )
+        ms, ids = M.create_points(ms, kf_slot, good, Xw)
+        # bind the neighbor-side observation too
+        row = ms.kf_mp[nb]
+        created = ids >= 0
+        row = row.at[jnp.where(created, j, ms.N)].set(
+            jnp.where(created, ids, -1), mode="drop"
+        )
+        ms = ms._replace(kf_mp=ms.kf_mp.at[nb].set(row))
+    return M.finalize_point_statistics(ms, scale_factor, n_levels)

@@ -84,9 +84,17 @@ def track_step(
     ref_depth = ms.kf_depth[ref_slot]
     ref_assoc = ms.kf_mp[ref_slot]
     pyr_ref = tuple(pl[ref_slot] for pl in ms.kf_pyramid)
-    align_valid = ms.kf_kp_valid[ref_slot] & (ref_depth > 0)
+    # alignment depth source: measured (RGB-D) where available, else the
+    # bound map point's depth in the reference camera (monocular — the
+    # reference's ImageAlign uses map points, ImageAlign.cc:355-421)
+    map_z = lie.se3_apply(
+        T_ref, ms.pt_pos[jnp.clip(ref_assoc, 0, ms.P - 1)]
+    )[:, 2]
+    has_map = (ref_assoc >= 0) & (map_z > 0.05)
+    depth_eff = jnp.where(ref_depth > 0, ref_depth, jnp.where(has_map, map_z, -1.0))
+    align_valid = ms.kf_kp_valid[ref_slot] & (depth_eff > 0)
     X_ref_cam = cam_mod.backproject(
-        cam, ms.kf_uv_und[ref_slot], jnp.maximum(ref_depth, 1e-3)
+        cam, ms.kf_uv_und[ref_slot], jnp.maximum(depth_eff, 1e-3)
     )
     T_cl_init = T_pred @ lie.se3_inv(T_ref)
     ares = image_align.align(
@@ -367,7 +375,8 @@ class RGBDTracker:
         )
         if self.st.status == "NOT_INITIALIZED":
             self._initialize(frame, timestamp)
-            self.trajectory.append(np.asarray(frame.Tcw))
+            pose = self.st.T_last if self.st.status == "OK" else frame.Tcw
+            self.trajectory.append(np.asarray(pose))
             self.st.frame_id += 1
             return self.trajectory[-1]
 
@@ -457,6 +466,14 @@ class RGBDTracker:
                 jnp.asarray(self.close_depth, jnp.float32),
                 scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
             )
+            # epipolar triangulation vs covisible neighbors: the only map
+            # growth for monocular; far-point growth for RGB-D
+            # (CreateNewMapPoints, LocalMapping.cc:190-420)
+            self.ms = LM.triangulate_new_points(
+                self.cam, self.ms, jnp.asarray(slot),
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
             Tcw = self.ms.kf_Tcw[slot]
             frame = frame._replace(Tcw=Tcw)
             st.last_assoc = self.ms.kf_mp[slot]
@@ -480,3 +497,114 @@ class RGBDTracker:
         st.frame_id += 1
         self.trajectory.append(np.asarray(Tcw))
         return self.trajectory[-1]
+
+
+class MonoTracker(RGBDTracker):
+    """Monocular front-end: two-view bootstrap (H/F RANSAC) + map growth by
+    epipolar triangulation. Scale is set by normalizing the initial map's
+    median depth to 1 (CreateInitialMapMonocular, Tracking.cc:458-504)."""
+
+    def __init__(self, cfg: SystemConfig):
+        super().__init__(cfg)
+        self._init_frame: Optional[Frame] = None
+        self._init_ts: float = 0.0
+
+    def track(self, img, timestamp: float):  # type: ignore[override]
+        return super().track(img, None, timestamp)
+
+    def _initialize(self, frame: Frame, timestamp: float):
+        from sdslam_tpu.solvers import initializer as init_mod
+
+        f = frame.features
+        if self._init_frame is None:
+            self._init_frame = frame
+            self._init_ts = timestamp
+            return
+        f0 = self._init_frame.features
+        res = matching.search_for_initialization(
+            f0.uv_und, f0.desc, f0.valid, f0.octave, f0.angle,
+            f.uv_und, f.desc, f.valid, f.octave, f.angle,
+        )
+        kp_to_q = res.kp_to_query  # frame kp -> init-frame kp
+        n_matches = int(res.count())
+        if n_matches < 100:
+            # too little overlap: restart from this frame (Tracking.cc:376-383)
+            self._init_frame = frame
+            self._init_ts = timestamp
+            return
+        # aligned match arrays indexed by current-frame keypoints
+        q = jnp.clip(kp_to_q, 0, f0.capacity - 1)
+        uv1 = f0.uv_und[q]
+        uv2 = f.uv_und
+        valid = kp_to_q >= 0
+        self._seed = getattr(self, "_seed", 0) + 1
+        ires = init_mod.initialize_two_view(
+            self.cam, uv1, uv2, valid, jax.random.key(self._seed)
+        )
+        if not bool(ires.success):
+            return
+        # scale: median triangulated depth -> 1 (Tracking.cc:497-503)
+        inl = ires.inliers
+        z = jnp.where(inl, ires.X1[:, 2], jnp.nan)
+        med = jnp.nanmedian(z)
+        X1 = ires.X1 / med
+        T2 = lie.se3_from_Rt(ires.R21, ires.t21 / med)
+
+        # keyframe 1 (the stored init frame, identity pose)
+        slot1 = self._free_kf_slot()
+        fr0 = self._init_frame
+        self.ms = keyframe_step(
+            self.cam, self.ms, slot1, jnp.eye(4),
+            f0.uv, f0.uv_und, f0.octave, f0.angle, f0.desc, f0.valid,
+            fr0.depth, fr0.uright, jnp.full((f0.capacity,), -1, jnp.int32),
+            self._stored_pyr(fr0),
+            jnp.asarray(self.st.frame_id - 1, jnp.int32),
+            jnp.asarray(self._init_ts, jnp.float32),
+            jnp.asarray(-1, jnp.int32),
+            scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        # keyframe 2 (current frame) with triangulated points bound to both
+        slot2 = self._free_kf_slot()
+        self.ms = keyframe_step(
+            self.cam, self.ms, slot2, T2,
+            f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
+            frame.depth, frame.uright, jnp.full((f.capacity,), -1, jnp.int32),
+            self._stored_pyr(frame),
+            jnp.asarray(self.st.frame_id, jnp.int32),
+            jnp.asarray(timestamp, jnp.float32),
+            jnp.asarray(slot1, jnp.int32),
+            scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        # create the triangulated points bound to KF2's keypoints (X1 is in
+        # KF1 camera frame == world, since KF1 = identity)
+        self.ms, ids = M.create_points(
+            self.ms, jnp.asarray(slot2), inl & valid, X1
+        )
+        # bind KF1-side observations through the match mapping
+        created = ids >= 0
+        row1 = self.ms.kf_mp[slot1]
+        row1 = row1.at[jnp.where(created, q, self.ms.N)].set(
+            jnp.where(created, ids, -1), mode="drop"
+        )
+        self.ms = self.ms._replace(kf_mp=self.ms.kf_mp.at[slot1].set(row1))
+        self.ms = M.finalize_point_statistics(
+            self.ms, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+        )
+        # full BA on the initial two-view map (GlobalBundleAdjustemnt(20),
+        # Tracking.cc:458)
+        self.ms = ba.global_ba(
+            self.cam, self.ms, fixed_kf=int(slot1),
+            scale_factor=self.cfg.orb.scale_factor, iters=20,
+        )
+
+        self.st.last_assoc = self.ms.kf_mp[slot2]
+        self.st.last_kf_slot = int(slot2)
+        self.st.T_last = self.ms.kf_Tcw[slot2]
+        self.st.velocity = jnp.eye(4)
+        self.st.last_ts = timestamp
+        self.ekf.update(np.asarray(self.st.T_last), max(timestamp - self._init_ts, 1e-3))
+        self.st.last_frame = frame
+        self.st.status = "OK"
+        self.st.frames_since_kf = 0
+        self.st.ref_kf_inliers = int(jnp.sum(self.st.last_assoc >= 0))
+        self._init_frame = None
