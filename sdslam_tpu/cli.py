@@ -1,0 +1,130 @@
+"""Command-line front-ends, mirroring the reference's example binaries
+(Examples/Monocular/monocular.cc, Examples/RGB-D/rgbd.cc,
+Examples/Fusion/monocular_imu.cc):
+
+    python -m sdslam_tpu.cli monocular <config.yaml> <image_dir> [--save-map m.npz]
+    python -m sdslam_tpu.cli rgbd <config.yaml> <tum_sequence_dir>
+    python -m sdslam_tpu.cli fusion <config.yaml> <euroc_dir>
+    python -m sdslam_tpu.cli synthetic [--sensor rgbd|monocular] [--frames N]
+
+Each run prints per-frame state and writes trajectory.txt (TUM format).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _common(sub):
+    sub.add_argument("--traj-out", default="trajectory.txt")
+    sub.add_argument("--save-map", default=None)
+    sub.add_argument("--load-map", default=None)
+    sub.add_argument("--localization-only", action="store_true")
+    sub.add_argument("--max-frames", type=int, default=None)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sdslam_tpu")
+    sp = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("monocular", "rgbd", "fusion"):
+        sub = sp.add_parser(name)
+        sub.add_argument("config")
+        sub.add_argument("data")
+        _common(sub)
+    sub = sp.add_parser("synthetic")
+    sub.add_argument("--sensor", default="rgbd", choices=["rgbd", "monocular"])
+    sub.add_argument("--frames", type=int, default=30)
+    _common(sub)
+    args = ap.parse_args(argv)
+
+    from sdslam_tpu.system import MONOCULAR, MONOCULAR_IMU, RGBD, SDSlamSystem
+    from sdslam_tpu.utils.config import load_config
+
+    if args.cmd == "synthetic":
+        from sdslam_tpu.geometry.camera import CameraModel
+        from sdslam_tpu.io.synthetic import SyntheticSequence
+        from sdslam_tpu.utils.config import MapConfig, ORBConfig, SystemConfig
+
+        cam = CameraModel(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
+                          width=320, height=240, bf=32.0)
+        cfg = SystemConfig(
+            camera=cam,
+            orb=ORBConfig(max_keypoints=512, n_levels=4),
+            map=MapConfig(max_keyframes=32, max_points=4096, max_kps_per_frame=512),
+        )
+        sensor = RGBD if args.sensor == "rgbd" else MONOCULAR
+        sysm = SDSlamSystem(cfg, sensor=sensor)
+        seq = SyntheticSequence(cam, n_frames=args.frames, trajectory="orbit",
+                                radius=0.06, yaw_amp=0.04)
+        frames = ((seq.frame(i)) for i in range(len(seq)))
+    else:
+        cfg = load_config(args.config)
+        if args.cmd == "monocular":
+            from sdslam_tpu.io.datasets import TUMMonoDataset
+
+            sysm = SDSlamSystem(cfg, sensor=MONOCULAR)
+            ds = TUMMonoDataset(args.data)
+            frames = ((ts, img, None) for ts, img in ds)
+        elif args.cmd == "rgbd":
+            from sdslam_tpu.io.datasets import TUMRGBDDataset
+
+            sysm = SDSlamSystem(cfg, sensor=RGBD)
+            ds = TUMRGBDDataset(args.data, depth_factor=cfg.tracking.depth_map_factor or 5000.0)
+            frames = iter(ds)
+        else:
+            from sdslam_tpu.io.datasets import EuRoCDataset
+
+            sysm = SDSlamSystem(cfg, sensor=MONOCULAR_IMU)
+            ds = EuRoCDataset(args.data)
+
+            def gen():
+                last_t = None
+                for ts, img in ds:
+                    rows = ds.imu_between(last_t, ts) if last_t else []
+                    meas = rows[-1] if rows else [0.0] * 6
+                    last_t = ts
+                    yield ts, img, meas
+
+            frames = gen()
+
+    if args.load_map:
+        sysm.load_map(args.load_map)
+    if args.localization_only:
+        sysm.activate_localization_mode()
+
+    t0 = time.perf_counter()
+    n = 0
+    for item in frames:
+        if args.cmd == "fusion":
+            ts, img, meas = item
+            sysm.track_fusion(img, meas, ts)
+        elif (args.cmd == "rgbd") or (args.cmd == "synthetic" and args.sensor == "rgbd"):
+            ts, img, depth = item
+            sysm.track_rgbd(img, depth, ts)
+        else:
+            ts, img = item[0], item[1]
+            sysm.track_monocular(img, ts)
+        n += 1
+        if n % 10 == 0:
+            fps = n / (time.perf_counter() - t0)
+            print(
+                f"frame {n}: state={sysm.get_tracking_state()} "
+                f"kf={int(sysm.tracker.ms.n_keyframes())} "
+                f"pts={int(sysm.tracker.ms.n_points())} {fps:.1f} fps",
+                flush=True,
+            )
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    sysm.save_trajectory_tum(args.traj_out)
+    print(f"saved {args.traj_out} ({n} poses); final state {sysm.get_tracking_state()}")
+    if args.save_map:
+        sysm.save_map(args.save_map)
+        print(f"saved map checkpoint {args.save_map}")
+    sysm.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Dataset loaders: TUM RGB-D and EuRoC MAV, plus timestamp association.
+
+Covers the reference's example front-ends (Examples/Monocular/monocular.cc,
+Examples/RGB-D/rgbd.cc, Examples/Fusion/monocular_imu.cc) and the
+associate.py tool (Examples/RGB-D/associate.py): nearest-timestamp
+association of rgb/depth/imu streams.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Grayscale float32 image via PIL (cv2 also works; PIL keeps the dep
+    surface minimal)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "I;16", "I"):
+        img = img.convert("L")
+    return np.asarray(img, dtype=np.float32)
+
+
+def read_tum_list(path: str) -> List[Tuple[float, str]]:
+    """Parse a TUM-format list file (rgb.txt / depth.txt): `timestamp path`."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ts, rel = line.split()[:2]
+            out.append((float(ts), rel))
+    return out
+
+
+def associate(
+    a: List[Tuple[float, str]],
+    b: List[Tuple[float, str]],
+    max_difference: float = 0.02,
+    offset: float = 0.0,
+) -> List[Tuple[float, str, float, str]]:
+    """Nearest-timestamp association (associate.py semantics): greedy best
+    pairs within max_difference."""
+    pairs = []
+    for ta, pa in a:
+        for tb, pb in b:
+            if abs(ta - (tb + offset)) < max_difference:
+                pairs.append((abs(ta - (tb + offset)), ta, pa, tb, pb))
+    pairs.sort()
+    used_a, used_b = set(), set()
+    out = []
+    for d, ta, pa, tb, pb in pairs:
+        if ta in used_a or tb in used_b:
+            continue
+        used_a.add(ta)
+        used_b.add(tb)
+        out.append((ta, pa, tb, pb))
+    out.sort()
+    return out
+
+
+class TUMRGBDDataset:
+    """TUM RGB-D sequence: associated rgb+depth pairs.
+
+    Layout: <root>/rgb.txt, <root>/depth.txt, images relative to root.
+    Depth scale: 5000 (TUM convention; the reference reads DepthMapFactor
+    from YAML)."""
+
+    def __init__(self, root: str, depth_factor: float = 5000.0):
+        self.root = root
+        self.depth_factor = depth_factor
+        rgb = read_tum_list(os.path.join(root, "rgb.txt"))
+        depth = read_tum_list(os.path.join(root, "depth.txt"))
+        self.assoc = associate(rgb, depth)
+        if not self.assoc:
+            raise RuntimeError(f"no rgb/depth associations under {root}")
+
+    def __len__(self):
+        return len(self.assoc)
+
+    def frame(self, i: int):
+        ts, rgb_rel, _, depth_rel = self.assoc[i]
+        img = _load_image(os.path.join(self.root, rgb_rel))
+        depth = _load_image(os.path.join(self.root, depth_rel)) / self.depth_factor
+        return ts, img, depth
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)
+
+
+class TUMMonoDataset:
+    """Monocular TUM: rgb.txt only (or a files.txt list as the reference's
+    monocular example uses, Examples/Monocular/monocular.cc:52-76)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        lst = os.path.join(root, "rgb.txt")
+        if os.path.exists(lst):
+            self.items = read_tum_list(lst)
+        else:
+            files = sorted(os.listdir(root))
+            self.items = [
+                (i / 30.0, f) for i, f in enumerate(files)
+                if f.lower().endswith((".png", ".jpg"))
+            ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def frame(self, i: int):
+        ts, rel = self.items[i]
+        return ts, _load_image(os.path.join(self.root, rel))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)
+
+
+class EuRoCDataset:
+    """EuRoC MAV format: mav0/cam0/data.csv + mav0/imu0/data.csv.
+
+    Yields (timestamp, image) and exposes imu_between(t0, t1) for the
+    fusion front-end (Examples/Fusion/monocular_imu.cc association)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        cam_csv = os.path.join(root, "mav0", "cam0", "data.csv")
+        self.items = []
+        with open(cam_csv) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                ts_ns, name = line.strip().split(",")[:2]
+                self.items.append((int(ts_ns) * 1e-9, name))
+        self.imu = []
+        imu_csv = os.path.join(root, "mav0", "imu0", "data.csv")
+        if os.path.exists(imu_csv):
+            with open(imu_csv) as f:
+                for line in f:
+                    if line.startswith("#"):
+                        continue
+                    vals = line.strip().split(",")
+                    self.imu.append(
+                        (int(vals[0]) * 1e-9, [float(v) for v in vals[1:7]])
+                    )
+
+    def __len__(self):
+        return len(self.items)
+
+    def frame(self, i: int):
+        ts, name = self.items[i]
+        path = os.path.join(self.root, "mav0", "cam0", "data", name)
+        return ts, _load_image(path)
+
+    def imu_between(self, t0: float, t1: float):
+        """IMU rows (gx gy gz ax ay az) with t0 < t <= t1."""
+        return [m for (t, m) in self.imu if t0 < t <= t1]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)

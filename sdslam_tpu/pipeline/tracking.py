@@ -323,7 +323,9 @@ class RGBDTracker:
         )
         self.st = TrackerState()
         self.ekf = ConstantVelocityEKF()
+        self.mapping_enabled = True  # False = localization-only mode
         self.trajectory: List[np.ndarray] = []
+        self.timestamps: List[float] = []
         # close-point threshold in meters: bf*ThDepth/fx (Tracking.cc:101-104)
         if cam.bf > 0:
             self.close_depth = cam.bf * cfg.tracking.th_depth / cam.fx
@@ -377,6 +379,7 @@ class RGBDTracker:
             self._initialize(frame, timestamp)
             pose = self.st.T_last if self.st.status == "OK" else frame.Tcw
             self.trajectory.append(np.asarray(pose))
+            self.timestamps.append(timestamp)
             self.st.frame_id += 1
             return self.trajectory[-1]
 
@@ -409,6 +412,7 @@ class RGBDTracker:
             # while lost, report the last known pose
             st.frame_id += 1
             self.trajectory.append(np.asarray(frame.Tcw if bool(rr.success) else st.T_last))
+            self.timestamps.append(timestamp)
             return self.trajectory[-1]
         # EKF prediction seeds the alignment (Tracking.cc:661); before the
         # filter has converged it degrades to the last pose
@@ -431,7 +435,7 @@ class RGBDTracker:
         # or the interval goes stale — but only while tracking is healthy
         # (inserting a KF from a bad pose bakes drift into new points)
         healthy = n_inliers >= 50
-        need_kf = healthy and (
+        need_kf = healthy and self.mapping_enabled and (
             n_inliers < 0.9 * st.ref_kf_inliers
             or st.frames_since_kf >= max(3, self.cfg.tracking.max_frames // 10)
         )
@@ -496,6 +500,7 @@ class RGBDTracker:
         st.last_frame = frame
         st.frame_id += 1
         self.trajectory.append(np.asarray(Tcw))
+        self.timestamps.append(timestamp)
         return self.trajectory[-1]
 
 
