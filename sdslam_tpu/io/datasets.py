@@ -44,8 +44,21 @@ def associate(
     max_difference: float = 0.02,
     offset: float = 0.0,
 ) -> List[Tuple[float, str, float, str]]:
-    """Nearest-timestamp association (associate.py semantics): greedy best
-    pairs within max_difference."""
+    """Nearest-timestamp association (associate.py semantics).
+
+    Uses the native O(n log n) implementation (sdslam_tpu._native) when the
+    C extension is built; falls back to pure Python otherwise."""
+    try:
+        from sdslam_tpu import _native
+
+        pairs = _native.associate(
+            [t for t, _ in a], [t for t, _ in b], max_difference, offset
+        )
+        return sorted(
+            (a[ia][0], a[ia][1], b[ib][0], b[ib][1]) for ia, ib in pairs
+        )
+    except ImportError:
+        pass
     pairs = []
     for ta, pa in a:
         for tb, pb in b:

@@ -389,3 +389,22 @@ def replace_points(ms: MapState, replace_map) -> MapState:
     new_mp = jnp.where((ms.kf_mp >= 0) & (tgt >= 0), tgt, ms.kf_mp)
     killed = replace_map >= 0
     return remove_points(ms._replace(kf_mp=new_mp), killed)
+
+
+def update_tracking_counters(ms: MapState, cam, Tcw, assoc) -> MapState:
+    """Bump per-point visible/found counters (MapPoint::IncreaseVisible /
+    IncreaseFound, driven by Tracking) — evaluated at keyframe cadence:
+    visible = inside the frustum of this pose, found = associated to a
+    keypoint. Feeds MapPointCulling's found-ratio."""
+    from sdslam_tpu.geometry import camera as cam_mod
+
+    Xc = lie.se3_apply(Tcw, ms.pt_pos)
+    uv, z = cam_mod.project(cam, Xc)
+    visible = ms.pt_valid & (z > 0.05) & cam_mod.in_image(cam, uv, 5.0)
+    found = jnp.zeros((ms.P,), bool).at[
+        jnp.where(assoc >= 0, assoc, ms.P)
+    ].set(True, mode="drop")
+    return ms._replace(
+        pt_visible=ms.pt_visible + visible.astype(jnp.int32),
+        pt_found=ms.pt_found + (found & ms.pt_valid).astype(jnp.int32),
+    )

@@ -478,6 +478,13 @@ class RGBDTracker:
                 scale_factor=self.cfg.orb.scale_factor,
                 n_levels=self.cfg.orb.n_levels,
             )
+            # culling passes (MapPointCulling + KeyFrameCulling,
+            # LocalMapping.cc:161-188, 580-634)
+            self.ms = M.update_tracking_counters(
+                self.ms, self.cam, self.ms.kf_Tcw[slot], self.ms.kf_mp[slot]
+            )
+            self.ms = LM.cull_points(self.ms)
+            self.ms = LM.cull_keyframes(self.ms, jnp.asarray(slot))
             Tcw = self.ms.kf_Tcw[slot]
             frame = frame._replace(Tcw=Tcw)
             st.last_assoc = self.ms.kf_mp[slot]

@@ -94,3 +94,27 @@ def test_cli_synthetic_smoke(tmp_path):
     assert os.path.exists(traj)
     assert len(open(traj).read().strip().splitlines()) == 6
     assert os.path.exists(mp)
+
+
+def test_native_extension_matches_python():
+    try:
+        from sdslam_tpu import _native
+    except ImportError:
+        import pytest
+
+        pytest.skip("native extension not built")
+    a = [(1.0, "a0"), (2.0, "a1"), (3.0, "a2"), (4.0, "a3")]
+    b = [(1.009, "b0"), (2.5, "bx"), (3.001, "b2"), (4.019, "b3")]
+    out = datasets.associate(a, b, max_difference=0.02)
+    assert [(x[1], x[3]) for x in out] == [("a0", "b0"), ("a2", "b2"), ("a3", "b3")]
+
+    rng = np.random.default_rng(3)
+    d1 = rng.integers(0, 256, (9, 32), dtype=np.uint8)
+    d2 = rng.integers(0, 256, (11, 32), dtype=np.uint8)
+    out_m = np.empty((9, 11), np.int32)
+    _native.hamming_matrix_u8(d1.tobytes(), d2.tobytes(), out_m)
+    ref = np.array(
+        [[np.unpackbits(np.bitwise_xor(d1[i], d2[j])).sum() for j in range(11)]
+         for i in range(9)]
+    )
+    np.testing.assert_array_equal(out_m, ref)
