@@ -1,0 +1,55 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode on
+CPU; compiled path exercised on TPU by the bench)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdslam_tpu.ops import hamming as ham
+from sdslam_tpu.ops.pallas import align_kernel, hamming_kernel
+
+
+def test_hamming_kernel_matches_xla(rng):
+    a = jnp.asarray(rng.integers(0, 2**32, size=(200, 8), dtype=np.uint64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, size=(150, 8), dtype=np.uint64).astype(np.uint32))
+    ref = np.asarray(ham.hamming_matrix(a, b))
+    out = np.asarray(hamming_kernel.hamming_matrix_pallas(a, b, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_align_kernel_matches_xla(rng):
+    from sdslam_tpu.ops import interp
+
+    H, W = 120, 160
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    N = 200
+    fx = fy = 80.0
+    cx, cy = 79.5, 59.5
+    Xc = rng.uniform([-0.8, -0.6, 1.0], [0.8, 0.6, 3.0], size=(N, 3)).astype(np.float32)
+    patch = rng.uniform(0, 255, (N, 16)).astype(np.float32)
+    J = rng.normal(size=(N, 16, 6)).astype(np.float32) * 0.01
+    valid = rng.uniform(size=N) > 0.2
+
+    Hm, b, chi, n = align_kernel.accumulate_gn(
+        img, jnp.asarray(Xc), jnp.asarray(patch), jnp.asarray(J),
+        jnp.asarray(valid), fx, fy, cx, cy, interpret=True,
+    )
+
+    # XLA reference (mirrors solvers/image_align residual math)
+    z = Xc[:, 2]
+    u = fx * Xc[:, 0] / z + cx
+    v = fy * Xc[:, 1] / z + cy
+    d = np.arange(16)
+    dx = (d % 4) - 2.0
+    dy = (d // 4) - 2.0
+    uv = np.stack([u[:, None] + dx, v[:, None] + dy], -1).astype(np.float32)
+    cur, ok = interp.bilinear_sample(img, jnp.asarray(uv))
+    m = np.asarray(ok) & valid[:, None] & (z > 0.01)[:, None]
+    r = np.where(m, (np.asarray(cur) - patch) / 255.0, 0.0)
+    Jm = np.where(m[:, :, None], J, 0.0)
+    H_ref = np.einsum("tpi,tpj->ij", Jm, J)
+    b_ref = np.einsum("tpi,tp->i", Jm, r)
+    np.testing.assert_allclose(np.asarray(Hm), H_ref, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b), b_ref, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(float(chi), (r * r).sum(), rtol=1e-3)
+    assert int(n) == int(m.sum())
