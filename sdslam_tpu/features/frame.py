@@ -95,8 +95,7 @@ class ORBExtractor:
             pyr_ops.level_quotas(cfg.max_keypoints, cfg.n_levels, cfg.scale_factor)
         )
 
-        @jax.jit
-        def _run(img):
+        def _core(img):
             pyramid = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
             uv, octv, ang, score, valid, desc = _extract_static(
                 pyramid,
@@ -110,10 +109,42 @@ class ORBExtractor:
             feats = FrameFeatures(uv, uv_und, octv, ang, score, desc, valid)
             return feats, tuple(pyramid)
 
+        # one jitted program per frame: extraction AND the RGB-D keypoint
+        # channels (eager per-op dispatch after extraction cost ~10 ms/op
+        # through the device tunnel — everything frame-related fuses here)
+        @jax.jit
+        def _run(img):
+            feats, pyramid = _core(img)
+            n = feats.uv.shape[0]
+            return (
+                feats, pyramid,
+                jnp.full((n,), -1.0, jnp.float32),
+                jnp.full((n,), -1.0, jnp.float32),
+            )
+
+        @functools.partial(jax.jit, static_argnames=("depth_factor",))
+        def _run_depth(img, depth_img, depth_factor):
+            feats, pyramid = _core(img)
+            dimg = depth_img
+            if depth_factor != 1.0:
+                dimg = dimg / depth_factor
+            xi = jnp.clip(
+                jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, dimg.shape[1] - 1
+            )
+            yi = jnp.clip(
+                jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, dimg.shape[0] - 1
+            )
+            d = dimg[yi, xi]
+            d = jnp.where(feats.valid & (d > 0), d, -1.0)
+            uright = cam_mod.virtual_right(cam, feats.uv_und[:, 0], d)
+            return feats, pyramid, d, uright
+
         self._run = _run
+        self._run_depth = _run_depth
 
     def __call__(self, img) -> Tuple[FrameFeatures, Tuple[jnp.ndarray, ...]]:
-        return self._run(jnp.asarray(img, jnp.float32))
+        feats, pyramid, _, _ = self._run(jnp.asarray(img, jnp.float32))
+        return feats, pyramid
 
 
 def make_frame(
@@ -124,21 +155,15 @@ def make_frame(
 ) -> Frame:
     """Build a Frame; with depth_img (RGB-D) fills per-keypoint depth and the
     virtual right coordinate (Frame::ComputeStereoFromRGBD, Frame.cc:399-417).
+    One jitted call end-to-end.
     """
-    feats, pyramid = extractor(img)
-    n = feats.capacity
+    img = jnp.asarray(img, jnp.float32)
     if depth_img is not None:
-        dimg = jnp.asarray(depth_img, jnp.float32)
-        if depth_factor != 1.0:
-            dimg = dimg / depth_factor
-        xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, dimg.shape[1] - 1)
-        yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, dimg.shape[0] - 1)
-        d = dimg[yi, xi]
-        d = jnp.where(feats.valid & (d > 0), d, -1.0)
-        uright = cam_mod.virtual_right(extractor.cam, feats.uv_und[:, 0], d)
+        feats, pyramid, d, uright = extractor._run_depth(
+            img, jnp.asarray(depth_img, jnp.float32), float(depth_factor)
+        )
     else:
-        d = jnp.full((n,), -1.0, jnp.float32)
-        uright = jnp.full((n,), -1.0, jnp.float32)
+        feats, pyramid, d, uright = extractor._run(img)
     return Frame(
         features=feats,
         pyramid=pyramid,

@@ -105,7 +105,7 @@ def fuse_neighbors(
     ms: M.MapState,
     kf_slot,
     scale_factor: float = 2.0,
-    n_neighbors: int = 5,
+    n_neighbors: int = 3,
 ) -> M.MapState:
     """SearchInNeighbors: two-way observation fusion between a keyframe and
     its top covisible neighbors."""
@@ -222,7 +222,7 @@ def triangulate_new_points(
     kf_slot,
     scale_factor: float = 2.0,
     n_levels: int = 5,
-    n_neighbors: int = 4,
+    n_neighbors: int = 3,
     th_desc: int = ham.TH_LOW,
 ) -> M.MapState:
     """Epipolar-search triangulation against covisible neighbors

@@ -176,7 +176,8 @@ def track_step(
     X1 = ms.pt_pos[jnp.clip(assoc1, 0, ms.P - 1)]
     v1 = assoc1 >= 0
     opt1 = pose_opt.optimize_pose(
-        cam, T_init, X1, uv_und, inv_sigma2, v1, ur_obs=uright, rounds=3,
+        cam, T_init, X1, uv_und, inv_sigma2, v1, ur_obs=uright,
+        rounds=2, iters_per_round=6,
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
 
@@ -206,7 +207,8 @@ def track_step(
     X2 = ms.pt_pos[jnp.clip(assoc2, 0, ms.P - 1)]
     v2 = assoc2 >= 0
     opt2 = pose_opt.optimize_pose(
-        cam, opt1.Tcw, X2, uv_und, inv_sigma2, v2, ur_obs=uright, rounds=4,
+        cam, opt1.Tcw, X2, uv_und, inv_sigma2, v2, ur_obs=uright,
+        rounds=3, iters_per_round=6,
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
     final_assoc = jnp.where(v2 & opt2.inliers, assoc2, -1)

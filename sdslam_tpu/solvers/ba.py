@@ -224,8 +224,8 @@ def bundle_adjust(
     cam_active,  # [K] bool: cameras to optimize (others fixed)
     pt_active,  # [P] bool: points to optimize
     scale_factor: float = 2.0,
-    iters1: int = 5,
-    iters2: int = 10,
+    iters1: int = 4,
+    iters2: int = 6,
     max_obs: int = 16,
     lm_lambda: float = 1e-4,
 ) -> BAResult:
