@@ -29,7 +29,9 @@ def main():
     from sdslam_tpu.geometry.camera import CameraModel
     from sdslam_tpu.io.synthetic import SyntheticSequence
     from sdslam_tpu.pipeline.tracking import RGBDTracker
-    from sdslam_tpu.utils.config import MapConfig, ORBConfig, SystemConfig
+    from sdslam_tpu.utils.config import (
+        MapConfig, ORBConfig, SystemConfig, TrackingConfig,
+    )
 
     # reference-scale workload: 640x480, 1024-keypoint budget
     cam = CameraModel(
@@ -39,24 +41,38 @@ def main():
         camera=cam,
         orb=ORBConfig(max_keypoints=1024, n_levels=5),
         map=MapConfig(max_keyframes=64, max_points=8192, max_kps_per_frame=1024),
+        tracking=TrackingConfig(depth_map_factor=1000.0),  # u16 mm depth
     )
     n_frames = 40
     seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="orbit",
                             radius=0.06, yaw_amp=0.04)
     frames = [seq.frame(i) for i in range(n_frames)]
-    # materialize renders outside the timed loop
-    frames = [(t, np.asarray(i), np.asarray(d)) for (t, i, d) in frames]
+    # realistic camera payloads: uint8 intensity + uint16 millimeter depth
+    # (casting/scaling happens on-device); pre-rendered outside the loop
+    frames = [
+        (t, np.asarray(i).astype(np.uint8),
+         (np.asarray(d) * 1000).astype(np.uint16))
+        for (t, i, d) in frames
+    ]
 
     tracker = RGBDTracker(cfg)
+
+    def put(i):
+        ts, img, depth = frames[i]
+        return ts, jax.device_put(img), jax.device_put(depth)
+
     # warmup: compile every jitted path (init, track, keyframe pipeline)
     for i in range(6):
-        ts, img, depth = frames[i]
+        ts, img, depth = put(i)
         tracker.track(img, depth, ts)
 
     t0 = time.perf_counter()
     n_timed = 0
+    nxt = put(6)
     for i in range(6, n_frames):
-        ts, img, depth = frames[i]
+        ts, img, depth = nxt
+        if i + 1 < n_frames:
+            nxt = put(i + 1)  # one-ahead async upload overlaps compute
         tracker.track(img, depth, ts)
         n_timed += 1
     elapsed = time.perf_counter() - t0

@@ -114,6 +114,7 @@ class ORBExtractor:
         # through the device tunnel — everything frame-related fuses here)
         @jax.jit
         def _run(img):
+            img = img.astype(jnp.float32)
             feats, pyramid = _core(img)
             n = feats.uv.shape[0]
             return (
@@ -124,8 +125,11 @@ class ORBExtractor:
 
         @functools.partial(jax.jit, static_argnames=("depth_factor",))
         def _run_depth(img, depth_img, depth_factor):
+            # uint8 images / uint16 depth upload 2.7x less through the device
+            # tunnel; all casting happens on-device
+            img = img.astype(jnp.float32)
             feats, pyramid = _core(img)
-            dimg = depth_img
+            dimg = depth_img.astype(jnp.float32)
             if depth_factor != 1.0:
                 dimg = dimg / depth_factor
             xi = jnp.clip(
@@ -143,7 +147,7 @@ class ORBExtractor:
         self._run_depth = _run_depth
 
     def __call__(self, img) -> Tuple[FrameFeatures, Tuple[jnp.ndarray, ...]]:
-        feats, pyramid, _, _ = self._run(jnp.asarray(img, jnp.float32))
+        feats, pyramid, _, _ = self._run(jnp.asarray(img))
         return feats, pyramid
 
 
@@ -157,10 +161,10 @@ def make_frame(
     virtual right coordinate (Frame::ComputeStereoFromRGBD, Frame.cc:399-417).
     One jitted call end-to-end.
     """
-    img = jnp.asarray(img, jnp.float32)
+    img = jnp.asarray(img)
     if depth_img is not None:
         feats, pyramid, d, uright = extractor._run_depth(
-            img, jnp.asarray(depth_img, jnp.float32), float(depth_factor)
+            img, jnp.asarray(depth_img), float(depth_factor)
         )
     else:
         feats, pyramid, d, uright = extractor._run(img)

@@ -212,13 +212,27 @@ def track_step(
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
     final_assoc = jnp.where(v2 & opt2.inliers, assoc2, -1)
+    # one packed vector = the single device->host transfer per frame (each
+    # transfer costs a full tunnel round trip regardless of size)
+    packed = jnp.concatenate(
+        [
+            opt2.Tcw.ravel(),
+            jnp.stack(
+                [
+                    opt2.n_inliers.astype(jnp.float32),
+                    jnp.sum(v1).astype(jnp.float32),
+                    ares.error,
+                ]
+            ),
+        ]
+    )
     return TrackOutput(
         Tcw=opt2.Tcw,
         assoc=final_assoc,
         n_inliers=opt2.n_inliers,
         n_matches=jnp.sum(v1),
         align_error=ares.error,
-    )
+    ), packed
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
@@ -286,6 +300,64 @@ def spawn_points(
     ms, _ = M.create_points(ms, slot, want, pos_w)
     ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
     return ms
+
+
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "covis_min")
+)
+def kf_pipeline(
+    cam: CameraModel,
+    ms: M.MapState,
+    Tcw,
+    uv,
+    uv_und,
+    octave,
+    angle,
+    desc,
+    kp_valid,
+    depth,
+    uright,
+    assoc,
+    stored_pyr: Tuple[jnp.ndarray, ...],
+    frame_id,
+    timestamp,
+    parent,
+    close_depth_th,
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+    covis_min: int = 15,
+):
+    """The whole keyframe-cadence mapping pass as ONE device program:
+    slot allocation -> insertion -> neighbor fusion -> statistics ->
+    local BA -> depth spawning -> epipolar triangulation -> counters ->
+    point/KF culling. Fusing it removes 8 host<->device boundaries, each of
+    which costs a tunnel round trip.
+
+    Returns (ms, slot, new_assoc_row, Tcw_refined)."""
+    slot = jnp.argmin(ms.kf_valid)  # first free slot (pool guarded by host)
+    ms = M.insert_keyframe(
+        ms, slot, Tcw, uv, uv_und, octave, angle, desc, kp_valid,
+        depth, uright, assoc, stored_pyr, frame_id, timestamp, parent,
+    )
+    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
+    ms = LM.fuse_neighbors(cam, ms, slot, scale_factor=scale_factor)
+    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
+    ms = ba.local_ba(
+        cam, ms, slot, scale_factor=scale_factor, covis_min=covis_min
+    )
+    ms = spawn_points(
+        cam, ms, slot, close_depth_th, scale_factor=scale_factor,
+        n_levels=n_levels,
+    )
+    ms = LM.triangulate_new_points(
+        cam, ms, slot, scale_factor=scale_factor, n_levels=n_levels
+    )
+    ms = M.update_tracking_counters(ms, cam, ms.kf_Tcw[slot], ms.kf_mp[slot])
+    ms = LM.cull_points(ms)
+    ms = LM.cull_keyframes(ms, slot)
+    return ms, slot, ms.kf_mp[slot], ms.kf_Tcw[slot]
 
 
 @dataclasses.dataclass
@@ -420,7 +492,7 @@ class RGBDTracker:
         # filter has converged it degrades to the last pose
         T_pred_np = self.ekf.predict(dt)
         T_pred = jnp.asarray(T_pred_np) if T_pred_np is not None else st.T_last
-        out = track_step(
+        out, packed = track_step(
             self.cam, self.ms,
             f.uv_und, f.desc, f.octave, f.valid, frame.uright, frame.pyramid,
             jnp.asarray(st.last_kf_slot, jnp.int32), T_pred,
@@ -428,7 +500,9 @@ class RGBDTracker:
             n_levels=self.cfg.orb.n_levels,
             align_min_level=self.cfg.tracking.align_min_level,
         )
-        n_inliers = int(out.n_inliers)
+        packed_np = np.asarray(packed)  # THE per-frame device->host sync
+        Tcw_np = packed_np[:16].reshape(4, 4)
+        n_inliers = int(packed_np[16])
         Tcw = out.Tcw
         frame = frame._replace(Tcw=Tcw)
 
@@ -442,55 +516,23 @@ class RGBDTracker:
             or st.frames_since_kf >= max(3, self.cfg.tracking.max_frames // 10)
         )
         if need_kf:
-            slot = self._free_kf_slot()
-            self.ms = keyframe_step(
-                self.cam, self.ms, slot, Tcw,
+            if not bool(jnp.any(~self.ms.kf_valid)):
+                raise RuntimeError("keyframe pool exhausted")
+            self.ms, slot_d, new_assoc, Tcw = kf_pipeline(
+                self.cam, self.ms, Tcw,
                 f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
                 frame.depth, frame.uright, out.assoc, self._stored_pyr(frame),
-                jnp.asarray(st.frame_id, jnp.int32), jnp.asarray(timestamp, jnp.float32),
+                jnp.asarray(st.frame_id, jnp.int32),
+                jnp.asarray(timestamp, jnp.float32),
                 jnp.asarray(st.last_kf_slot, jnp.int32),
-                scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
-            )
-            # local-mapping pass: fuse cross-observations -> local BA (the new
-            # KF pose is refined against the existing map only) -> THEN spawn
-            # this KF's new depth points from the refined pose -> final BA
-            # polish including them
-            self.ms = LM.fuse_neighbors(
-                self.cam, self.ms, jnp.asarray(slot),
-                scale_factor=self.cfg.orb.scale_factor,
-            )
-            self.ms = M.finalize_point_statistics(
-                self.ms, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
-            )
-            self.ms = ba.local_ba(
-                self.cam, self.ms, slot,
-                scale_factor=self.cfg.orb.scale_factor,
-                covis_min=self.cfg.map.covis_min_weight,
-            )
-            self.ms = spawn_points(
-                self.cam, self.ms, jnp.asarray(slot),
                 jnp.asarray(self.close_depth, jnp.float32),
-                scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
-            )
-            # epipolar triangulation vs covisible neighbors: the only map
-            # growth for monocular; far-point growth for RGB-D
-            # (CreateNewMapPoints, LocalMapping.cc:190-420)
-            self.ms = LM.triangulate_new_points(
-                self.cam, self.ms, jnp.asarray(slot),
                 scale_factor=self.cfg.orb.scale_factor,
                 n_levels=self.cfg.orb.n_levels,
+                covis_min=self.cfg.map.covis_min_weight,
             )
-            # culling passes (MapPointCulling + KeyFrameCulling,
-            # LocalMapping.cc:161-188, 580-634)
-            self.ms = M.update_tracking_counters(
-                self.ms, self.cam, self.ms.kf_Tcw[slot], self.ms.kf_mp[slot]
-            )
-            self.ms = LM.cull_points(self.ms)
-            self.ms = LM.cull_keyframes(self.ms, jnp.asarray(slot))
-            Tcw = self.ms.kf_Tcw[slot]
             frame = frame._replace(Tcw=Tcw)
-            st.last_assoc = self.ms.kf_mp[slot]
-            st.last_kf_slot = slot
+            st.last_assoc = new_assoc
+            st.last_kf_slot = int(slot_d)
             st.frames_since_kf = 0
             st.ref_kf_inliers = n_inliers
         else:
@@ -502,13 +544,13 @@ class RGBDTracker:
             self.ekf.restart()
         else:
             # EKF measurement update with innovation gating (Tracking.cc:245)
-            self.ekf.update(np.asarray(Tcw), dt)
+            self.ekf.update(Tcw_np if not need_kf else np.asarray(Tcw), dt)
 
         st.T_last = Tcw
         st.last_ts = timestamp
         st.last_frame = frame
         st.frame_id += 1
-        self.trajectory.append(np.asarray(Tcw))
+        self.trajectory.append(Tcw_np if not need_kf else np.asarray(Tcw))
         self.timestamps.append(timestamp)
         return self.trajectory[-1]
 
