@@ -106,10 +106,11 @@ def fuse_neighbors(
     kf_slot,
     scale_factor: float = 2.0,
     n_neighbors: int = 3,
+    covis=None,
 ) -> M.MapState:
     """SearchInNeighbors: two-way observation fusion between a keyframe and
     its top covisible neighbors."""
-    cov = M.covisibility(ms)
+    cov = M.covisibility(ms) if covis is None else covis
     w = cov[kf_slot].at[kf_slot].set(-1)
     _, neigh = jax.lax.top_k(w, n_neighbors)  # [C] best neighbor slots
     neigh_ok = jnp.take(w, neigh) > 0
@@ -224,6 +225,7 @@ def triangulate_new_points(
     n_levels: int = 5,
     n_neighbors: int = 3,
     th_desc: int = ham.TH_LOW,
+    covis=None,
 ) -> M.MapState:
     """Epipolar-search triangulation against covisible neighbors
     (CreateNewMapPoints, LocalMapping.cc:190-420): unbound keypoints of the
@@ -236,7 +238,7 @@ def triangulate_new_points(
     from sdslam_tpu.solvers.initializer import triangulate as dlt
 
     K_mat = cam.K
-    cov = M.covisibility(ms)
+    cov = M.covisibility(ms) if covis is None else covis
     w = cov[kf_slot].at[kf_slot].set(-1)
     _, neigh = jax.lax.top_k(w, n_neighbors)
     neigh_ok_arr = jnp.take(w, neigh) > 0

@@ -177,7 +177,7 @@ def track_step(
     v1 = assoc1 >= 0
     opt1 = pose_opt.optimize_pose(
         cam, T_init, X1, uv_und, inv_sigma2, v1, ur_obs=uright,
-        rounds=2, iters_per_round=6,
+        rounds=2, iters_per_round=4,
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
 
@@ -208,7 +208,7 @@ def track_step(
     v2 = assoc2 >= 0
     opt2 = pose_opt.optimize_pose(
         cam, opt1.Tcw, X2, uv_und, inv_sigma2, v2, ur_obs=uright,
-        rounds=3, iters_per_round=6,
+        rounds=2, iters_per_round=5,
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
     final_assoc = jnp.where(v2 & opt2.inliers, assoc2, -1)
@@ -341,18 +341,23 @@ def kf_pipeline(
         ms, slot, Tcw, uv, uv_und, octave, angle, desc, kp_valid,
         depth, uright, assoc, stored_pyr, frame_id, timestamp, parent,
     )
-    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
-    ms = LM.fuse_neighbors(cam, ms, slot, scale_factor=scale_factor)
+    # covisibility computed once and reused by fusion/BA/triangulation
+    # (it changes only marginally within the pass; the final state is
+    # re-derived next keyframe)
+    covis = M.covisibility(ms)
+    ms = LM.fuse_neighbors(cam, ms, slot, scale_factor=scale_factor, covis=covis)
     ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
     ms = ba.local_ba(
-        cam, ms, slot, scale_factor=scale_factor, covis_min=covis_min
+        cam, ms, slot, scale_factor=scale_factor, covis_min=covis_min,
+        covis=covis,
     )
     ms = spawn_points(
         cam, ms, slot, close_depth_th, scale_factor=scale_factor,
         n_levels=n_levels,
     )
     ms = LM.triangulate_new_points(
-        cam, ms, slot, scale_factor=scale_factor, n_levels=n_levels
+        cam, ms, slot, scale_factor=scale_factor, n_levels=n_levels,
+        covis=covis,
     )
     ms = M.update_tracking_counters(ms, cam, ms.kf_Tcw[slot], ms.kf_mp[slot])
     ms = LM.cull_points(ms)
@@ -511,7 +516,7 @@ class RGBDTracker:
         # or the interval goes stale — but only while tracking is healthy
         # (inserting a KF from a bad pose bakes drift into new points)
         healthy = n_inliers >= 50
-        need_kf = healthy and self.mapping_enabled and (
+        need_kf = healthy and self.mapping_enabled and st.frames_since_kf >= 2 and (
             n_inliers < 0.9 * st.ref_kf_inliers
             or st.frames_since_kf >= max(3, self.cfg.tracking.max_frames // 10)
         )

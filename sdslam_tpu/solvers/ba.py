@@ -314,11 +314,12 @@ def local_ba(
     scale_factor: float = 2.0,
     covis_min: int = 15,
     max_obs: int = 16,
+    covis=None,
 ) -> M.MapState:
     """Local BA around a keyframe: optimize it + its covisible neighbors +
     their points; every other KF observing those points stays fixed
     (Optimizer::LocalBundleAdjustment, Optimizer.cc:417-714)."""
-    cov = M.covisibility(ms)
+    cov = M.covisibility(ms) if covis is None else covis
     local = cov[center_kf] >= covis_min
     local = local.at[center_kf].set(True)
     local = local & ms.kf_valid
