@@ -235,7 +235,7 @@ def triangulate_new_points(
 
     This is how a MONOCULAR map grows; RGB-D uses it in addition to direct
     depth spawning (far points beyond the depth range)."""
-    from sdslam_tpu.solvers.initializer import triangulate as dlt
+    from sdslam_tpu.solvers.initializer import triangulate_linear as dlt
 
     K_mat = cam.K
     cov = M.covisibility(ms) if covis is None else covis

@@ -161,6 +161,28 @@ def triangulate(P1, P2, uv1, uv2):
     return Xh[:, :3] / jnp.where(jnp.abs(Xh[:, 3:]) < 1e-9, 1e-9, Xh[:, 3:])
 
 
+def triangulate_linear(P1, P2, uv1, uv2):
+    """Inhomogeneous DLT: fix w=1 and solve the 4x3 system by 3x3 normal
+    equations — algebraically the same constraint set as `triangulate` but
+    a batched small solve instead of a batched SVD (an order of magnitude
+    faster on TPU; used in the per-keyframe triangulation hot path)."""
+    rows = jnp.stack(
+        [
+            uv1[:, 0, None] * P1[2] - P1[0],
+            uv1[:, 1, None] * P1[2] - P1[1],
+            uv2[:, 0, None] * P2[2] - P2[0],
+            uv2[:, 1, None] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )  # [N,4,4]
+    A = rows[:, :, :3]
+    b = -rows[:, :, 3]
+    AtA = jnp.einsum("nij,nik->njk", A, A, precision=jax.lax.Precision.HIGHEST)
+    Atb = jnp.einsum("nij,ni->nj", A, b, precision=jax.lax.Precision.HIGHEST)
+    AtA = AtA + 1e-9 * jnp.eye(3)
+    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+
+
 def _check_RT(cam: CameraModel, R, t, uv1, uv2, valid, sigma2):
     """Cheirality + parallax + reprojection vote for one motion hypothesis
     (Initializer::CheckRT, :752)."""
