@@ -91,9 +91,15 @@ class ORBExtractor:
     def __init__(self, cam: CameraModel, cfg: ORBConfig):
         self.cam = cam
         self.cfg = cfg
+        # the REQUESTED feature budget (ORBextractor.nFeatures, distributed
+        # geometrically across levels like ORBextractor.cc:424-434) drives
+        # extraction; arrays are padded up to the static max_keypoints
+        # capacity so downstream shapes are config-independent
+        n_req = min(cfg.n_features, cfg.max_keypoints)
         self.quotas = tuple(
-            pyr_ops.level_quotas(cfg.max_keypoints, cfg.n_levels, cfg.scale_factor)
+            pyr_ops.level_quotas(n_req, cfg.n_levels, cfg.scale_factor)
         )
+        self._pad = cfg.max_keypoints - sum(self.quotas)
 
         def _core(img):
             pyramid = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
@@ -105,6 +111,14 @@ class ORBExtractor:
                 16,
                 19,
             )
+            if self._pad > 0:
+                p = self._pad
+                uv = jnp.pad(uv, ((0, p), (0, 0)))
+                octv = jnp.pad(octv, (0, p))
+                ang = jnp.pad(ang, (0, p))
+                score = jnp.pad(score, (0, p))
+                valid = jnp.pad(valid, (0, p))
+                desc = jnp.pad(desc, ((0, p), (0, 0)))
             uv_und = cam_mod.undistort_pixels(cam, uv)
             feats = FrameFeatures(uv, uv_und, octv, ang, score, desc, valid)
             return feats, tuple(pyramid)

@@ -36,9 +36,11 @@ def _shard_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und,
     Returns (S_local [K,K,6,6], bs_local [K,6], Hpp_inv [Ploc,3,3],
     W [Ploc,M,6,3], bp [Ploc,3])."""
     hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-    r, Jc, Jp, info, stereo, behind = ba_mod._edge_terms(
-        cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave,
-        scale_factor,
+    es = ba_mod._prep_edges(
+        obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K
+    )
+    r, Jc, Jp, info, stereo, behind = ba_mod._edge_terms_from(
+        cam, kf_Tcw, pt_pos, es, scale_factor
     )
     ok = obs_ok & (~behind)
     w = info * ok
@@ -55,8 +57,7 @@ def _shard_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und,
     Ploc, Mo = obs_kf.shape
     # MXU one-hot assembly (see ba._gn_iteration): the Schur pair term
     # factors per point, so no [P,M,M] blocks and no scatters
-    U = (c[..., None] == jnp.arange(K)[None, None, :]).astype(jnp.float32)
-    U = U * ok[..., None]
+    U = es.cam_onehot * ok[..., None]
     Hpp = hp("pmri,pmrj->pij", wJp, Jp)
     bp = -hp("pmri,pmr->pi", wJp, r)
     Hcc_e = hp("pmri,pmrj->pmij", wJc, Jc)
@@ -67,7 +68,7 @@ def _shard_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und,
     damp_p = lm_lambda * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-8
     )
-    Hpp_inv = jnp.linalg.inv(
+    Hpp_inv = ba_mod._inv3x3_spd(
         Hpp + damp_p * jnp.broadcast_to(jnp.eye(3), Hpp.shape) + 1e-9 * jnp.eye(3)
     )
     Y = hp("pmij,pjk->pmik", W, Hpp_inv)

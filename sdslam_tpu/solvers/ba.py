@@ -52,12 +52,55 @@ class BAResult(NamedTuple):
     chi2: jnp.ndarray  # scalar mean inlier chi2
 
 
-def _edge_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor):
-    """Residuals r [P,M,3], Jacobians Jc [P,M,3,6], Jp [P,M,3,3], info w [P,M]."""
-    P, Mo = obs_kf.shape
-    c = jnp.clip(obs_kf, 0, kf_Tcw.shape[0] - 1)
+class _EdgeStatic(NamedTuple):
+    """Per-edge observation data that never changes across LM iterations —
+    gathered ONCE per bundle_adjust (the per-iteration [P,M] gathers from the
+    keyframe tables were a dominant BA cost on TPU)."""
+
+    uv_obs: jnp.ndarray  # [P,M,2]
+    ur_obs: jnp.ndarray  # [P,M]
+    inv_sigma2: jnp.ndarray  # [P,M]
+    stereo: jnp.ndarray  # [P,M] bool
+    cam_onehot: jnp.ndarray  # [P,M,K] f32 one-hot of the observing camera
+
+
+def _prep_edges(obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K):
+    c = jnp.clip(obs_kf, 0, K - 1)
     k = jnp.clip(obs_kp, 0, kf_uv_und.shape[1] - 1)
-    T = kf_Tcw[c]  # [P,M,4,4]
+    uv_obs = kf_uv_und[c, k]
+    ur_obs = kf_uright[c, k]
+    inv_sigma2 = 1.0 / scale_factor ** (2.0 * kf_octave[c, k].astype(jnp.float32))
+    stereo = ur_obs >= 0
+    onehot = (c[..., None] == jnp.arange(K)[None, None, :]).astype(jnp.float32)
+    return _EdgeStatic(uv_obs, ur_obs, inv_sigma2, stereo, onehot)
+
+
+def _inv3x3_spd(A):
+    """Closed-form (adjugate) inverse of batched 3x3 SPD matrices.
+    jnp.linalg.inv on [P,3,3] lowers to a per-matrix pivoted LU on TPU —
+    ~35x slower than the cofactor formula for this size."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A21 = f * g - d * i
+    A31 = d * h - e * g
+    det = a * A11 + b * A21 + c * A31
+    idet = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    row0 = jnp.stack([A11, c * h - b * i, b * f - c * e], -1)
+    row1 = jnp.stack([A21, a * i - c * g, c * d - a * f], -1)
+    row2 = jnp.stack([A31, b * g - a * h, a * e - b * d], -1)
+    return jnp.stack([row0, row1, row2], -2) * idet[..., None, None]
+
+
+def _edge_terms_from(cam, kf_Tcw, pt_pos, es: _EdgeStatic, scale_factor):
+    """Residuals r [P,M,3], Jacobians Jc [P,M,3,6], Jp [P,M,3,3] from the
+    precomputed static edge data. The observing-camera pose is expanded via
+    a one-hot matmul (MXU) instead of a scattered [P,M,4,4] gather."""
+    T = jnp.einsum(
+        "pmk,kab->pmab", es.cam_onehot, kf_Tcw,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     Xc = lie.se3_apply(T, pt_pos[:, None, :])  # [P,M,3]
     x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     zi = 1.0 / jnp.maximum(z, 1e-6)
@@ -65,9 +108,9 @@ def _edge_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_oc
     u = cam.fx * x * zi + cam.cx
     v = cam.fy * y * zi + cam.cy
     ur = u - cam.bf * zi
-    uv_obs = kf_uv_und[c, k]  # [P,M,2]
-    ur_obs = kf_uright[c, k]
-    stereo = ur_obs >= 0
+    uv_obs = es.uv_obs
+    ur_obs = es.ur_obs
+    stereo = es.stereo
     r = jnp.stack(
         [u - uv_obs[..., 0], v - uv_obs[..., 1], jnp.where(stereo, ur - ur_obs, 0.0)],
         axis=-1,
@@ -87,113 +130,238 @@ def _edge_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_oc
     # point: dXc/dXw = R
     R = T[..., :3, :3]
     Jp = jnp.einsum("...ij,...jk->...ik", JX, R)
-    inv_sigma2 = 1.0 / scale_factor ** (2.0 * kf_octave[c, k].astype(jnp.float32))
     behind = z <= 0.05
-    return r, Jc, Jp, inv_sigma2, stereo, behind
+    return r, Jc, Jp, es.inv_sigma2, stereo, behind
+
+
+def _chol3x3(h00, h01, h02, h11, h12, h22):
+    """Closed-form Cholesky L (lower) of batched symmetric 3x3, elementwise
+    over arbitrarily-shaped arrays. Assumes SPD (guaranteed by damping)."""
+    l00 = jnp.sqrt(jnp.maximum(h00, 1e-30))
+    l10 = h01 / l00
+    l20 = h02 / l00
+    l11 = jnp.sqrt(jnp.maximum(h11 - l10 * l10, 1e-30))
+    l21 = (h12 - l10 * l20) / l11
+    l22 = jnp.sqrt(jnp.maximum(h22 - l20 * l20 - l21 * l21, 1e-30))
+    return l00, l10, l20, l11, l21, l22
 
 
 def _gn_iteration(
     cam,
     kf_Tcw,
     pt_pos,
-    obs_kf,
-    obs_kp,
+    es: _EdgeStatic,
     obs_ok,
-    kf_uv_und,
-    kf_uright,
-    kf_octave,
     cam_active,
     pt_active,
     scale_factor,
     use_huber: bool,
-    lm_lambda: float,
+    lm_lambda,
 ):
+    """One damped GN step. Returns (T_new, X_new, robust_cost_at_current):
+    the cost comes free with the residual pass, enabling single-edge-pass
+    Levenberg-Marquardt (deferred accept/reject in the caller).
+
+    Layout: everything is computed as flat per-edge [E] vectors (E = P*M,
+    the minor-most dimension) with EXPLICIT scalar Jacobian formulas instead
+    of [P,M,3,6] einsums — trailing dims of 3/6 waste TPU lanes (pad to 128)
+    and made assembly ~7x slower. Edge->camera reductions are one-hot matmuls
+    (MXU); the Schur complement uses the Cholesky factorization of the damped
+    point blocks, Hpp^-1 = Linv^T Linv, so S = Hcc - Z Z^T is ONE dense
+    [6K, 3P] x [3P, 6K] MXU matmul."""
     K = kf_Tcw.shape[0]
-    P, Mo = obs_kf.shape
-    r, Jc, Jp, info, stereo, behind = _edge_terms(
-        cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor
-    )
-    ok = obs_ok & (~behind)
+    P, Mo = obs_ok.shape
+    E = P * Mo
+    hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    f32 = jnp.float32
+
+    Uflat = es.cam_onehot.reshape(E, K)
+    # camera pose per edge, via one MXU matmul (no scattered [P,M,4,4] gather)
+    T16 = (Uflat @ kf_Tcw.reshape(K, 16)).T  # [16, E]
+    r00, r01, r02, t0 = T16[0], T16[1], T16[2], T16[3]
+    r10, r11, r12, t1 = T16[4], T16[5], T16[6], T16[7]
+    r20, r21, r22, t2 = T16[8], T16[9], T16[10], T16[11]
+    Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
+    X0, X1, X2 = Xw[0], Xw[1], Xw[2]
+    x = r00 * X0 + r01 * X1 + r02 * X2 + t0
+    y = r10 * X0 + r11 * X1 + r12 * X2 + t1
+    z = r20 * X0 + r21 * X1 + r22 * X2 + t2
+    zi = 1.0 / jnp.maximum(z, 1e-6)
+    zi2 = zi * zi
+    u = cam.fx * x * zi + cam.cx
+    v = cam.fy * y * zi + cam.cy
+    ur = u - cam.bf * zi
+
+    stereo = es.stereo.reshape(E)
+    info = es.inv_sigma2.reshape(E)
+    uv_obs = es.uv_obs.reshape(E, 2)
+    res0 = u - uv_obs[:, 0]
+    res1 = v - uv_obs[:, 1]
+    res2 = jnp.where(stereo, ur - es.ur_obs.reshape(E), 0.0)
+    ok = (obs_ok.reshape(E) & (z > 0.05)).astype(f32)
+
+    chi2 = (res0 * res0 + res1 * res1 + res2 * res2) * info
+    hub = jnp.where(stereo, HUBER_STEREO, HUBER_MONO)
+    d2 = hub * hub
+    rho = jnp.where(chi2 <= d2, chi2, 2.0 * hub * jnp.sqrt(chi2 + 1e-12) - d2)
+    cost_cur = jnp.sum(rho * ok)
+
     w = info * ok
     if use_huber:
-        rn = jnp.sqrt(jnp.sum(r * r, -1) * info + 1e-12)
-        hub = jnp.where(stereo, HUBER_STEREO, HUBER_MONO)
-        w = w * jnp.minimum(1.0, hub / jnp.maximum(rn, 1e-9))
-    # zero-out Jacobians of fixed cameras / points
-    c = jnp.clip(obs_kf, 0, K - 1)
-    Jc = Jc * cam_active[c][..., None, None]
-    Jp = Jp * pt_active[:, None, None, None]
+        w = w * jnp.minimum(1.0, hub / jnp.maximum(jnp.sqrt(chi2 + 1e-12), 1e-9))
+    cam_act_e = Uflat @ cam_active.astype(f32)  # [E]
+    pt_act_e = jnp.broadcast_to(
+        pt_active[:, None], (P, Mo)
+    ).reshape(E).astype(f32)
 
-    wJc = Jc * w[..., None, None]
-    wJp = Jp * w[..., None, None]
-    hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-
-    # one-hot camera indicator U[p,m,k]: all edge->camera reductions become
-    # matmuls on the MXU (scatter-add assembly serializes on TPU and was the
-    # dominant BA cost; the Schur pair term factors per point, so
-    # S[a,b] = sum_p YU[p,a] @ WU[p,b]^T needs no [P,M,M] blocks at all)
-    U = (c[..., None] == jnp.arange(K)[None, None, :]).astype(jnp.float32)
-    U = U * ok[..., None]  # masked edges contribute nothing
-
-    # per-point 3x3 and gradient
-    Hpp = hp("pmri,pmrj->pij", wJp, Jp)  # [P,3,3]
-    bp = -hp("pmri,pmr->pi", wJp, r)  # [P,3]
-    # per-camera 6x6 and gradient
-    Hcc_e = hp("pmri,pmrj->pmij", wJc, Jc)  # [P,M,6,6]
-    bc_e = -hp("pmri,pmr->pmi", wJc, r)  # [P,M,6]
-    Hcc = hp("pmk,pmij->kij", U, Hcc_e)  # [K,6,6]
-    bc = hp("pmk,pmi->ki", U, bc_e)  # [K,6]
-    # coupling blocks W = Jc^T w Jp per edge
-    W = hp("pmri,pmrj->pmij", wJc, Jp)  # [P,M,6,3]
-
-    # damp + invert point blocks
-    damp_p = lm_lambda * jnp.maximum(
-        jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-8
+    # JX rows (d residual / d Xc), explicit [E] formulas
+    fx, fy, bf = cam.fx, cam.fy, cam.bf
+    st = stereo.astype(f32)
+    JX = (
+        (fx * zi, jnp.zeros_like(zi), -fx * x * zi2),
+        (jnp.zeros_like(zi), fy * zi, -fy * y * zi2),
+        (st * fx * zi, jnp.zeros_like(zi), st * (-fx * x * zi2 + bf * zi2)),
     )
-    Hpp_d = Hpp + damp_p * jnp.broadcast_to(jnp.eye(3), Hpp.shape) + 1e-9 * jnp.eye(3)
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
-    Y = hp("pmij,pjk->pmik", W, Hpp_inv)  # [P,M,6,3]
+    # Jc[r] = [JX[r] | JX[r] x Xc] (left-perturbation), masked by cam_active
+    # Jp[r] = JX[r] @ R, masked by pt_active
+    Jc = []
+    Jp = []
+    for (a, b, c_) in JX:
+        # rotational block: -JX[r] @ hat(Xc) = Xc x JX[r]
+        cx_ = c_ * y - b * z
+        cy_ = a * z - c_ * x
+        cz_ = b * x - a * y
+        Jc.append(tuple(cam_act_e * q for q in (a, b, c_, cx_, cy_, cz_)))
+        Jp.append(
+            tuple(
+                pt_act_e * q
+                for q in (
+                    a * r00 + b * r10 + c_ * r20,
+                    a * r01 + b * r11 + c_ * r21,
+                    a * r02 + b * r12 + c_ * r22,
+                )
+            )
+        )
+    res = (res0, res1, res2)
 
-    # Schur assembly via per-point camera aggregates
-    YU = hp("pmk,pmic->pkic", U, Y)  # [P,K,6,3]
-    WU = hp("pmk,pmic->pkic", U, W)  # [P,K,6,3]
-    S = -hp("paic,pbjc->abij", YU, WU)  # [K,K,6,6]
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
-    # reduced gradient: bs = bc - sum_i Y_i bp
-    bs = bc - hp("pkic,pc->ki", YU, bp)
+    def acc_rows(Ja, Jb, na, nb, sym):
+        """Per-edge H entries sum_r w*Ja[r,i]*Jb[r,j] -> list of [E]."""
+        out = []
+        for i in range(na):
+            for j in range(i if sym else 0, nb):
+                out.append(w * sum(Ja[r][i] * Jb[r][j] for r in range(3)))
+        return out
+
+    # per-point 3x3 Hpp (6 sym comps) + bp, reduced over the M obs of each pt
+    def psum(e):
+        return e.reshape(P, Mo).sum(axis=1)
+
+    hpp = [psum(e) for e in acc_rows(Jp, Jp, 3, 3, True)]  # 00,01,02,11,12,22
+    bp = jnp.stack(
+        [-psum(w * sum(Jp[r][i] * res[r] for r in range(3))) for i in range(3)],
+        axis=1,
+    )  # [P,3]
+
+    # per-camera 6x6 Hcc (21 sym comps) + bc (6): one [K,E]@[E,27] MXU matmul
+    g_cols = acc_rows(Jc, Jc, 6, 6, True)
+    g_cols += [-w * sum(Jc[r][i] * res[r] for r in range(3)) for i in range(6)]
+    G = jnp.stack(g_cols, axis=1)  # [E,27]
+    HG = hp("ek,ec->kc", Uflat, G)  # [K,27]
+    tri = [(i, j) for i in range(6) for j in range(i, 6)]
+    Hcc = jnp.zeros((K, 6, 6), f32)
+    for idx, (i, j) in enumerate(tri):
+        Hcc = Hcc.at[:, i, j].set(HG[:, idx])
+        if i != j:
+            Hcc = Hcc.at[:, j, i].set(HG[:, idx])
+    bc = HG[:, 21:]  # [K,6]
+
+    # damped point blocks: closed-form Cholesky + inverse (elementwise [P])
+    h00, h01, h02, h11, h12, h22 = hpp
+    trace = h00 + h11 + h22
+    damp = lm_lambda * jnp.maximum(trace / 3.0, 1e-8) + 1e-9
+    h00, h11, h22 = h00 + damp, h11 + damp, h22 + damp
+    Hpp_d = jnp.stack(
+        [
+            jnp.stack([h00, h01, h02], -1),
+            jnp.stack([h01, h11, h12], -1),
+            jnp.stack([h02, h12, h22], -1),
+        ],
+        -2,
+    )
+    Hpp_inv = _inv3x3_spd(Hpp_d)  # [P,3,3]
+    # Cholesky Hpp_d = L L^T, so Hpp^-1 = Linv^T Linv and the Schur product
+    # V Hpp^-1 V^T becomes Z Z^T with Z = V Linv^T
+    l00, l10, l20, l11, l21, l22 = _chol3x3(h00, h01, h02, h11, h12, h22)
+    # explicit lower-triangular inverse of L (3x3 closed form)
+    i00 = 1.0 / l00
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i10 = -l10 * i00 * i11
+    i20 = (l10 * l21 - l20 * l11) * i00 * i11 * i22
+    i21 = -l21 * i11 * i22
+    # Linv rows: [[i00,0,0],[i10,i11,0],[i20,i21,i22]]
+
+    # W = Jc^T w Jp per edge: 18 comps [E]; V = edge->camera aggregation
+    w_cols = []
+    for i in range(6):
+        for j in range(3):
+            w_cols.append(w * sum(Jc[r][i] * Jp[r][j] for r in range(3)))
+    W18 = jnp.stack(w_cols, axis=1).reshape(P, Mo, 18)
+    V = hp("pmk,pmw->pkw", es.cam_onehot * obs_ok[..., None].astype(f32), W18)
+    V = V.reshape(P, K, 6, 3)
+
+    # Z = V Linv^T  (so  V Hpp^-1 V^T = Z Z^T): per-point right-multiply
+    LinvT = jnp.zeros((P, 3, 3), f32)
+    LinvT = LinvT.at[:, 0, 0].set(i00).at[:, 0, 1].set(i10).at[:, 0, 2].set(i20)
+    LinvT = LinvT.at[:, 1, 1].set(i11).at[:, 1, 2].set(i21)
+    LinvT = LinvT.at[:, 2, 2].set(i22)
+    Z = hp("pkic,pcd->pkid", V, LinvT)  # [P,K,6,3]
+    Zt = Z.transpose(1, 2, 0, 3).reshape(K * 6, P * 3)
+    S_dense = -(Zt @ Zt.T)  # ONE MXU matmul, [6K, 3P] x [3P, 6K]
+    S_dense = S_dense.reshape(K, 6, K, 6)
+    KI = jnp.arange(K)
+    S_dense = S_dense.at[KI, :, KI, :].add(Hcc)
+
+    # reduced gradient: bs = bc - V Hpp^-1 bp
+    ybp = hp("pij,pj->pi", Hpp_inv, bp)  # [P,3]
+    bs = bc - hp("pkic,pc->ki", V, ybp)
 
     # camera damping + fixed-camera prior
     diag_scale = jnp.maximum(
-        jnp.trace(S[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1) / 6.0, 1e-6
+        jnp.trace(S_dense[KI, :, KI, :], axis1=-2, axis2=-1) / 6.0, 1e-6
     )
     prior = jnp.where(cam_active, lm_lambda * diag_scale, FIXED_PRIOR)
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+    S_dense = S_dense.at[KI, :, KI, :].add(
         prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
     )
 
-    # dense solve of the reduced camera system (MXU)
-    S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    b_dense = bs.reshape(K * 6)
-    L, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
-    dc = jax.scipy.linalg.cho_solve((L, low), b_dense).reshape(K, 6)
+    S_flat = S_dense.reshape(K * 6, K * 6)
+    L, low = jax.scipy.linalg.cho_factor(S_flat, lower=True)
+    dc = jax.scipy.linalg.cho_solve((L, low), bs.reshape(K * 6)).reshape(K, 6)
     dc = dc * cam_active[:, None]
 
     # landmark back-substitution: dp = Hpp^-1 (bp - sum_m W_m^T dc_m)
-    dc_pm = hp("pmk,ki->pmi", U, dc)  # gather-free per-edge camera updates
-    Wt_dc = hp("pmij,pmi->pj", W, dc_pm)
+    dc_e = (Uflat @ dc).T  # [6, E]
+    q = []
+    for jcol in range(3):
+        acc = 0.0
+        for i in range(6):
+            acc = acc + w_cols[i * 3 + jcol] * dc_e[i]
+        q.append(psum(acc))
+    Wt_dc = jnp.stack(q, axis=1)  # [P,3]
     dp = hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
 
     kf_Tcw_new = jnp.where(
         cam_active[:, None, None], lie.se3_exp(dc) @ kf_Tcw, kf_Tcw
     )
     pt_pos_new = pt_pos + dp
-    return kf_Tcw_new, pt_pos_new
+    return kf_Tcw_new, pt_pos_new, cost_cur
 
 
-def _robust_cost(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und, kf_uright, kf_octave, scale_factor):
+def _robust_cost(cam, kf_Tcw, pt_pos, es, obs_ok, scale_factor):
     """Total Huber-robustified cost over included edges (for LM accept/reject)."""
-    r, _, _, info, stereo, behind = _edge_terms(
-        cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor
+    r, _, _, info, stereo, behind = _edge_terms_from(
+        cam, kf_Tcw, pt_pos, es, scale_factor
     )
     ok = obs_ok & (~behind)
     chi2 = jnp.sum(r * r, -1) * info
@@ -203,9 +371,9 @@ def _robust_cost(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und, kf_urig
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
-def _chi2(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und, kf_uright, kf_octave, scale_factor):
-    r, _, _, info, stereo, behind = _edge_terms(
-        cam, kf_Tcw, pt_pos, obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor
+def _chi2(cam, kf_Tcw, pt_pos, es, obs_ok, scale_factor):
+    r, _, _, info, stereo, behind = _edge_terms_from(
+        cam, kf_Tcw, pt_pos, es, scale_factor
     )
     chi2 = jnp.sum(r * r, -1) * info
     th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
@@ -233,14 +401,15 @@ def bundle_adjust(
     LocalBundleAdjustment schedule (Optimizer.cc:608-653)."""
     obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
     obs_ok = obs_kf >= 0
+    es = _prep_edges(
+        obs_kf, obs_kp, ms.kf_uv_und, ms.kf_uright, ms.kf_octave,
+        scale_factor, ms.K,
+    )
     # a point is optimizable with >= 2 mono observations, or with a single
     # STEREO observation (u_r ties it to measured depth: a full 3D
     # measurement, so no gauge freedom — the RGB-D case)
     n_obs = jnp.sum(obs_ok, axis=1)
-    ur = ms.kf_uright[
-        jnp.clip(obs_kf, 0, ms.K - 1), jnp.clip(obs_kp, 0, ms.N - 1)
-    ]
-    n_stereo = jnp.sum(obs_ok & (ur >= 0), axis=1)
+    n_stereo = jnp.sum(obs_ok & es.stereo, axis=1)
     pt_act = pt_active & ms.pt_valid & ((n_obs >= 2) | (n_stereo >= 1))
     cam_act = cam_active & ms.kf_valid
     # only edges of optimizable points enter the system: a frozen point with
@@ -249,45 +418,53 @@ def bundle_adjust(
     obs_ok = obs_ok & pt_act[:, None]
 
     kf_Tcw, pt_pos = ms.kf_Tcw, ms.pt_pos
-    args = (ms.kf_uv_und, ms.kf_uright, ms.kf_octave)
 
     def stage(carry, n_iters, use_huber):
-        """Levenberg-Marquardt: adaptive lambda with accept/reject, matching
-        g2o's OptimizationAlgorithmLevenberg step control."""
+        """Levenberg-Marquardt with deferred accept/reject: each iteration
+        makes ONE edge pass — the robust cost of the current iterate comes
+        free with its residuals, so a worse step is rolled back at the start
+        of the next iteration (vs g2o's evaluate-then-commit, which costs a
+        second residual pass per LM step)."""
         kf_Tcw, pt_pos, obs_ok = carry
-        cost0 = _robust_cost(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, *args, scale_factor)
 
         def body(_, st):
-            T, X, lam, cost = st
-            T_new, X_new = _gn_iteration(
-                cam, T, X, obs_kf, obs_kp, obs_ok, *args,
+            T, X, Tb, Xb, cb, lam = st
+            T_new, X_new, cost_cur = _gn_iteration(
+                cam, T, X, es, obs_ok,
                 cam_act, pt_act, scale_factor, use_huber, lam,
             )
-            cost_new = _robust_cost(
-                cam, T_new, X_new, obs_kf, obs_kp, obs_ok, *args, scale_factor
+            accept = cost_cur <= cb
+            Tb = jnp.where(accept, T, Tb)
+            Xb = jnp.where(accept, X, Xb)
+            cb = jnp.minimum(cost_cur, cb)
+            lam_next = jnp.where(
+                accept,
+                jnp.maximum(lam * 0.5, 1e-7),
+                jnp.minimum(lam * 8.0, 1e3),
             )
-            accept = cost_new < cost
-            T = jnp.where(accept, T_new, T)
-            X = jnp.where(accept, X_new, X)
-            cost = jnp.where(accept, cost_new, cost)
-            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 8.0, 1e3))
-            return (T, X, lam, cost)
+            # on accept, advance with the freshly-computed step; on reject the
+            # step was linearized at a bad iterate — restart from the best
+            T = jnp.where(accept, T_new, Tb)
+            X = jnp.where(accept, X_new, Xb)
+            return (T, X, Tb, Xb, cb, lam_next)
 
-        kf_Tcw, pt_pos, _, _ = jax.lax.fori_loop(
-            0, n_iters, body, (kf_Tcw, pt_pos, jnp.asarray(lm_lambda, jnp.float32), cost0)
+        inf = jnp.asarray(jnp.inf, jnp.float32)
+        T, X, Tb, Xb, cb, _ = jax.lax.fori_loop(
+            0, n_iters, body,
+            (kf_Tcw, pt_pos, kf_Tcw, pt_pos, inf,
+             jnp.asarray(lm_lambda, jnp.float32)),
         )
-        return kf_Tcw, pt_pos
+        # the last step was never cost-checked: keep it only if it improves
+        cost_T = _robust_cost(cam, T, X, es, obs_ok, scale_factor)
+        take = cost_T <= cb
+        return jnp.where(take, T, Tb), jnp.where(take, X, Xb)
 
     kf_Tcw, pt_pos = stage((kf_Tcw, pt_pos, obs_ok), iters1, True)
     # outlier pass (Optimizer.cc:612-629)
-    chi2, inlier, _ = _chi2(
-        cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, *args, scale_factor
-    )
+    chi2, inlier, _ = _chi2(cam, kf_Tcw, pt_pos, es, obs_ok, scale_factor)
     obs_ok2 = obs_ok & inlier
     kf_Tcw, pt_pos = stage((kf_Tcw, pt_pos, obs_ok2), iters2, True)
-    chi2, inlier, mean = _chi2(
-        cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok2, *args, scale_factor
-    )
+    chi2, inlier, mean = _chi2(cam, kf_Tcw, pt_pos, es, obs_ok2, scale_factor)
     return BAResult(kf_Tcw, pt_pos, obs_ok2 & inlier, mean)
 
 

@@ -142,11 +142,14 @@ def load_config(path: Optional[str] = None, **overrides) -> SystemConfig:
             bf=float(g("Camera.bf", 0.0)),
             fps=float(g("Camera.fps", 30.0)),
         )
+        n_feat = int(g("ORBextractor.nFeatures", 1000))
         orb = ORBConfig(
-            n_features=int(g("ORBextractor.nFeatures", 1000)),
+            n_features=n_feat,
             scale_factor=float(g("ORBextractor.scaleFactor", 2.0)),
             n_levels=int(g("ORBextractor.nLevels", 5)),
             fast_threshold=int(g("ORBextractor.thresholdFAST", 20)),
+            # static capacity: next power of two that fits the request
+            max_keypoints=max(256, 1 << (max(n_feat, 1) - 1).bit_length()),
         )
         tracking = TrackingConfig(
             th_depth=float(g("ThDepth", 40.0)),
