@@ -146,13 +146,9 @@ class ORBExtractor:
             dimg = depth_img.astype(jnp.float32)
             if depth_factor != 1.0:
                 dimg = dimg / depth_factor
-            xi = jnp.clip(
-                jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, dimg.shape[1] - 1
-            )
-            yi = jnp.clip(
-                jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, dimg.shape[0] - 1
-            )
-            d = dimg[yi, xi]
+            from sdslam_tpu.ops import sample as smp
+
+            d = smp.sample_nearest(dimg, feats.uv)
             d = jnp.where(feats.valid & (d > 0), d, -1.0)
             uright = cam_mod.virtual_right(cam, feats.uv_und[:, 0], d)
             return feats, pyramid, d, uright

@@ -88,12 +88,17 @@ def subpixel_refine(score, uv):
     The reference keeps integer FAST corners (OpenCV behavior); subpixel
     localization measurably reduces the pose-estimation noise floor, so the
     TPU build refines by default."""
+    from sdslam_tpu.ops import orb as orb_ops
+
     H, W = score.shape
     xi = jnp.clip(uv[:, 0].astype(jnp.int32), 1, W - 2)
     yi = jnp.clip(uv[:, 1].astype(jnp.int32), 1, H - 2)
+    uvc = jnp.stack([xi, yi], -1).astype(jnp.float32)
+    # 3x3 neighborhood via matmul patch extraction (no scattered gather)
+    nb = orb_ops.extract_patches(score, uvc, 1)  # [N,3,3]
 
     def g(dy, dx):
-        return score[yi + dy, xi + dx]
+        return nb[:, dy + 1, dx + 1]
 
     dx = 0.5 * (g(0, 1) - g(0, -1))
     dy = 0.5 * (g(1, 0) - g(-1, 0))

@@ -25,16 +25,17 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
 
 
 def _sep_conv2d(img, k1d):
-    """Separable 2D convolution with edge replication, img [H,W] f32."""
+    """Separable 2D convolution with edge replication, img [H,W] f32.
+
+    Implemented as sliced multiply-adds (VPU, fully fused) — a 1-channel
+    lax.conv lowers to an inefficient TPU convolution (~1 ms for 7x7 on
+    640x480 vs ~0.05 ms for the shifted-adds form)."""
     r = (len(k1d) - 1) // 2
-    kh = jnp.asarray(k1d).reshape(1, 1, 1, -1)
-    kv = jnp.asarray(k1d).reshape(1, 1, -1, 1)
-    x = img[None, None, :, :]
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
-    return x[0, 0]
+    H, W = img.shape
+    xp = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
+    x = sum(float(k1d[i]) * xp[:, i : i + W] for i in range(2 * r + 1))
+    xp = jnp.pad(x, ((r, r), (0, 0)), mode="edge")
+    return sum(float(k1d[i]) * xp[i : i + H, :] for i in range(2 * r + 1))
 
 
 def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
