@@ -515,7 +515,10 @@ class RGBDTracker:
         # association decays below 90% of the reference keyframe's strength
         # or the interval goes stale — but only while tracking is healthy
         # (inserting a KF from a bad pose bakes drift into new points)
-        healthy = n_inliers >= 50
+        # reference gate: mnMatchesInliers > 15 (Tracking.cc:806,823); a KF
+        # from a weak-but-valid pose lets triangulation grow the map back,
+        # which is the recovery path monocular depends on
+        healthy = n_inliers >= 20
         need_kf = healthy and self.mapping_enabled and st.frames_since_kf >= 2 and (
             n_inliers < 0.9 * st.ref_kf_inliers
             or st.frames_since_kf >= max(3, self.cfg.tracking.max_frames // 10)

@@ -137,4 +137,8 @@ def optimize_pose(
     r, _, behind = _residuals_jac(cam, T, X, uv_obs, ur_obs, stereo)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     total = jnp.sum(jnp.where(inliers, chi2, 0.0))
+    # ~40 chained 4x4 f32 products/frame accumulate ~1e-6 orthonormality
+    # error; renormalizing here (the only place poses exit the per-frame
+    # loop) keeps long sequences on SO(3)
+    T = lie.se3_normalize(T)
     return PoseOptResult(T, inliers, jnp.sum(inliers), total)
