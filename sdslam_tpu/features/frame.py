@@ -123,26 +123,19 @@ class ORBExtractor:
             feats = FrameFeatures(uv, uv_und, octv, ang, score, desc, valid)
             return feats, tuple(pyramid)
 
-        # one jitted program per frame: extraction AND the RGB-D keypoint
-        # channels (eager per-op dispatch after extraction cost ~10 ms/op
-        # through the device tunnel — everything frame-related fuses here)
-        @jax.jit
-        def _run(img):
+        def _core_full(img, depth_img, depth_factor):
+            """Unjitted extraction core: composes into larger fused programs
+            (the whole per-frame loop is ONE device program in the tracker).
+            depth_img=None -> mono (-1 depth/uright channels)."""
             img = img.astype(jnp.float32)
             feats, pyramid = _core(img)
             n = feats.uv.shape[0]
-            return (
-                feats, pyramid,
-                jnp.full((n,), -1.0, jnp.float32),
-                jnp.full((n,), -1.0, jnp.float32),
-            )
-
-        @functools.partial(jax.jit, static_argnames=("depth_factor",))
-        def _run_depth(img, depth_img, depth_factor):
+            if depth_img is None:
+                d = jnp.full((n,), -1.0, jnp.float32)
+                uright = jnp.full((n,), -1.0, jnp.float32)
+                return feats, pyramid, d, uright
             # uint8 images / uint16 depth upload 2.7x less through the device
             # tunnel; all casting happens on-device
-            img = img.astype(jnp.float32)
-            feats, pyramid = _core(img)
             dimg = depth_img.astype(jnp.float32)
             if depth_factor != 1.0:
                 dimg = dimg / depth_factor
@@ -153,6 +146,18 @@ class ORBExtractor:
             uright = cam_mod.virtual_right(cam, feats.uv_und[:, 0], d)
             return feats, pyramid, d, uright
 
+        # one jitted program per frame: extraction AND the RGB-D keypoint
+        # channels (eager per-op dispatch after extraction cost ~10 ms/op
+        # through the device tunnel — everything frame-related fuses here)
+        @jax.jit
+        def _run(img):
+            return _core_full(img, None, 1.0)
+
+        @functools.partial(jax.jit, static_argnames=("depth_factor",))
+        def _run_depth(img, depth_img, depth_factor):
+            return _core_full(img, depth_img, depth_factor)
+
+        self.core = _core_full
         self._run = _run
         self._run_depth = _run_depth
 

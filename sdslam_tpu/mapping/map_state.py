@@ -198,26 +198,53 @@ def point_obs_count(ms: MapState):
     return cnt * ms.pt_valid
 
 
-def build_obs_lists(ms: MapState, max_obs: int = 16):
-    """Derived per-point observation lists via one sort over the [K*N] table.
+def obs_lists_from_table(obs, P: int, max_obs: int = 16):
+    """Per-point observation lists from an observation table.
 
-    Returns (obs_kf [P,M], obs_kp [P,M]) int32, -1 padded.  Replaces
-    MapPoint::mObservations (MapPoint.h:...) as an on-demand structure.
+    obs: [R, N] point id per (row, keypoint) slot, -1 when none (rows are
+    keyframes, possibly a compacted subset). Returns (obs_row [P,M],
+    obs_kp [P,M]) int32, -1 padded.
+
+    A rank-scatter loop over the R rows replaces a [R*N] sort: each step
+    reads the running per-point count (= rank of this row's observation) and
+    scatter-writes (row, kp) at that rank. TPU sorts are bitonic and cost
+    ~10 ms at 64k elements; R sequential 1k-element scatters are ~10x
+    cheaper. Within-row duplicate bindings of one point (possible after
+    fuse) drop all but one edge, which is benign for every consumer.
     """
-    obs = observation_table(ms).ravel()  # [K*N]
-    KN = obs.shape[0]
-    key = jnp.where(obs >= 0, obs, ms.P)  # invalid sorts to the end
-    order = jnp.argsort(key)
-    sorted_p = key[order]
-    starts = jnp.searchsorted(sorted_p, jnp.arange(ms.P))
-    counts = jnp.searchsorted(sorted_p, jnp.arange(ms.P), side="right") - starts
-    sl = starts[:, None] + jnp.arange(max_obs)[None, :]  # [P,M]
-    in_range = jnp.arange(max_obs)[None, :] < jnp.minimum(counts, max_obs)[:, None]
-    flat = jnp.where(in_range, order[jnp.clip(sl, 0, KN - 1)], -1)
-    N = ms.N
-    obs_kf = jnp.where(flat >= 0, flat // N, -1).astype(jnp.int32)
-    obs_kp = jnp.where(flat >= 0, flat % N, -1).astype(jnp.int32)
-    return obs_kf, obs_kp
+    R, N = obs.shape
+    M = max_obs
+    kp_ar = jnp.arange(N, dtype=jnp.int32)
+
+    def body(r, carry):
+        cnt, orow, okp = carry
+        p = obs[r]  # [N]
+        ok = p >= 0
+        ps = jnp.clip(p, 0, P - 1)
+        rank = cnt[ps]  # [N] current obs count of each point
+        fits = ok & (rank < M)
+        # scatter (point, rank) <- (row r, kp); invalid -> OOB row P (dropped)
+        tgt_p = jnp.where(fits, ps, P)
+        orow = orow.at[tgt_p, rank].set(r, mode="drop")
+        okp = okp.at[tgt_p, rank].set(kp_ar, mode="drop")
+        cnt = cnt.at[jnp.where(ok, ps, P)].add(1, mode="drop")
+        return cnt, orow, okp
+
+    cnt0 = jnp.zeros((P,), jnp.int32)
+    init = (
+        cnt0,
+        jnp.full((P, M), -1, jnp.int32),
+        jnp.full((P, M), -1, jnp.int32),
+    )
+    _, obs_row, obs_kp = jax.lax.fori_loop(0, R, body, init)
+    return obs_row, obs_kp
+
+
+def build_obs_lists(ms: MapState, max_obs: int = 16):
+    """Derived per-point observation lists (obs_kf [P,M], obs_kp [P,M]),
+    -1 padded. Replaces MapPoint::mObservations (MapPoint.h:60-66) as an
+    on-demand structure."""
+    return obs_lists_from_table(observation_table(ms), ms.P, max_obs)
 
 
 def update_point_statistics(ms: MapState, max_obs: int = 16) -> MapState:

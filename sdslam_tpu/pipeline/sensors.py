@@ -23,12 +23,97 @@ Design notes (same estimator structure, tidier state):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation as _R
 
+from sdslam_tpu.geometry import lie
+
 CHI2_GATE_6DOF = 16.81
+
+
+# ---------------------------------------------------------------------------
+# Device-resident EKF (pure jnp): same estimator as ConstantVelocityEKF below
+# but expressed as functions over an EKFState pytree so the whole per-frame
+# loop can live in ONE jitted program (each host<->device boundary costs a
+# ~25 ms tunnel round trip on the target deployment).
+# ---------------------------------------------------------------------------
+
+
+class EKFState(NamedTuple):
+    x: jnp.ndarray  # [6] twist (v, w)
+    P: jnp.ndarray  # [6,6] covariance
+    last_pose: jnp.ndarray  # [4,4] Tcw of the last accepted measurement
+    started: jnp.ndarray  # bool scalar: one update absorbed
+    has_pose: jnp.ndarray  # bool scalar: last_pose meaningful
+
+    # noise constants (python floats baked into the jitted program)
+    SIGMA_A = 1.0
+    SIGMA_ALPHA = 1.0
+    SIGMA_V_MEAS = 0.15
+    SIGMA_W_MEAS = 0.15
+
+
+def ekf_init(T0=None) -> EKFState:
+    has = T0 is not None
+    return EKFState(
+        x=jnp.zeros(6, jnp.float32),
+        P=jnp.eye(6, dtype=jnp.float32) * 1e2,
+        last_pose=jnp.asarray(T0, jnp.float32) if has else jnp.eye(4, jnp.float32),
+        started=jnp.asarray(False),
+        has_pose=jnp.asarray(has),
+    )
+
+
+def ekf_predict(s: EKFState, dt):
+    """Returns (state, T_pred). Before the first update T_pred = last pose."""
+    dt = jnp.maximum(dt, 1e-4)
+    q = jnp.concatenate(
+        [jnp.full((3,), EKFState.SIGMA_A**2), jnp.full((3,), EKFState.SIGMA_ALPHA**2)]
+    ).astype(jnp.float32)
+    P = s.P + jnp.diag(q) * dt * dt
+    T_pred = jnp.where(
+        s.started,
+        lie.se3_normalize(lie.se3_exp(s.x * dt) @ s.last_pose),
+        s.last_pose,
+    )
+    return s._replace(P=P), T_pred
+
+
+def ekf_update(s: EKFState, T_meas, dt, ok) -> EKFState:
+    """Fuse a tracked pose when `ok` (a traced bool); innovation-gated."""
+    dt = jnp.maximum(dt, 1e-4)
+    T_meas = T_meas.astype(jnp.float32)
+    rel = T_meas @ lie.se3_inv(s.last_pose)
+    z = lie.se3_log(rel) / dt
+    R = jnp.diag(
+        jnp.concatenate(
+            [
+                jnp.full((3,), EKFState.SIGMA_V_MEAS**2),
+                jnp.full((3,), EKFState.SIGMA_W_MEAS**2),
+            ]
+        ).astype(jnp.float32)
+    )
+    y = z - s.x
+    S = s.P + R
+    m2 = y @ jnp.linalg.solve(S, y)
+    gated = s.started & (m2 > CHI2_GATE_6DOF * 10)
+    K = s.P @ jnp.linalg.inv(S)
+    x_new = s.x + K @ y
+    P_new = (jnp.eye(6, dtype=jnp.float32) - K) @ s.P
+    # first-ever measurement only seeds last_pose (matches host EKF.update)
+    seed_only = ok & (~s.has_pose)
+    accept = ok & s.has_pose & (~gated)
+    take_pose = ok & (~gated | ~s.started)
+    return EKFState(
+        x=jnp.where(accept, x_new, s.x),
+        P=jnp.where(accept, P_new, s.P),
+        last_pose=jnp.where(take_pose | seed_only, T_meas, s.last_pose),
+        started=s.started | accept,
+        has_pose=s.has_pose | ok,
+    )
 
 
 def _np_se3_exp(xi: np.ndarray) -> np.ndarray:

@@ -36,8 +36,8 @@ from sdslam_tpu.geometry.camera import CameraModel
 from sdslam_tpu.mapping import local_mapping as LM
 from sdslam_tpu.mapping import map_state as M
 from sdslam_tpu.ops import hamming as ham
+from sdslam_tpu.pipeline import sensors
 from sdslam_tpu.pipeline.relocalization import relocalize
-from sdslam_tpu.pipeline.sensors import ConstantVelocityEKF
 from sdslam_tpu.solvers import ba, image_align, pose_opt
 from sdslam_tpu.utils.config import SystemConfig
 
@@ -54,10 +54,7 @@ class TrackOutput(NamedTuple):
     align_error: jnp.ndarray  # photometric alignment residual
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "align_min_level")
-)
-def track_step(
+def _track_core(
     cam: CameraModel,
     ms: M.MapState,
     # current frame
@@ -235,6 +232,11 @@ def track_step(
     ), packed
 
 
+track_step = functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "align_min_level")
+)(_track_core)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
 def keyframe_step(
     cam: CameraModel,
@@ -304,10 +306,7 @@ def spawn_points(
 
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "covis_min")
-)
-def kf_pipeline(
+def _kf_core(
     cam: CameraModel,
     ms: M.MapState,
     Tcw,
@@ -365,6 +364,38 @@ def kf_pipeline(
     return ms, slot, ms.kf_mp[slot], ms.kf_Tcw[slot]
 
 
+kf_pipeline = functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "covis_min")
+)(_kf_core)
+
+
+class DeviceState(NamedTuple):
+    """Per-frame tracker state that lives ON DEVICE across frames, so the
+    host never has to synchronize to run the next frame (each device->host
+    sync costs a full tunnel round trip, ~25 ms on the target deployment).
+    Replaces the host-side pieces of the reference's Tracking members
+    (mVelocity/EKF state, mnLastKeyFrameId, Tracking.h:139-176)."""
+
+    ekf: sensors.EKFState
+    last_kf_slot: jnp.ndarray  # int32
+    frames_since_kf: jnp.ndarray  # int32
+    ref_kf_inliers: jnp.ndarray  # int32: inliers when the ref KF was made
+    frame_id: jnp.ndarray  # int32
+    last_ts: jnp.ndarray  # float32
+
+
+# layout of the packed per-frame readback vector (one async D2H per frame)
+PACK_POSE = slice(0, 16)
+PACK_INLIERS = 16
+PACK_MATCHES = 17
+PACK_ALIGN_ERR = 18
+PACK_NEED_KF = 19
+PACK_KF_SLOT = 20
+PACK_N_KFS = 21
+PACK_N_PTS = 22
+PACK_LEN = 23
+
+
 @dataclasses.dataclass
 class TrackerState:
     status: str = "NOT_INITIALIZED"
@@ -380,7 +411,23 @@ class TrackerState:
 
 
 class RGBDTracker:
-    """Host-side orchestration of the RGB-D odometry slice."""
+    """Host-side orchestration of RGB-D SLAM.
+
+    TPU-native architecture: the ENTIRE per-frame computation — ORB
+    extraction, EKF prediction, photometric alignment, matching, pose GN,
+    the keyframe decision, and (conditionally, via lax.cond) the whole
+    mapping pass — is ONE jitted device program carrying a DeviceState
+    pytree across frames. The host only streams frames in and drains a
+    small packed result vector out, ASYNCHRONOUSLY, a few frames behind.
+    Rationale: every device<->host synchronization costs a full tunnel
+    round trip (~25 ms measured); the reference's host-driven state machine
+    (Tracking.cc:185-300) would cap throughput at <40 fps before any
+    compute happens.
+    """
+
+    _HAS_DEPTH = True
+    PIPELINE_DEPTH = 2  # frames in flight before the host inspects results
+    LOST_PATIENCE = 1  # <10-inlier frames before reloc (immediate, Tracking.cc:235-238)
 
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
@@ -401,7 +448,7 @@ class RGBDTracker:
             tuple(shapes),
         )
         self.st = TrackerState()
-        self.ekf = ConstantVelocityEKF()
+        self.dst: Optional[DeviceState] = None
         self.mapping_enabled = True  # False = localization-only mode
         self.trajectory: List[np.ndarray] = []
         self.timestamps: List[float] = []
@@ -410,6 +457,159 @@ class RGBDTracker:
             self.close_depth = cam.bf * cfg.tracking.th_depth / cam.fx
         else:
             self.close_depth = float("inf")
+        # async readback queue: (trajectory index, packed device array)
+        self._pending: List[Tuple[int, jnp.ndarray]] = []
+        self._lost_streak = 0
+        self.kf_events: List[int] = []  # drained slots of new KFs (loop closing)
+        self._w_imu = np.zeros(3, np.float32)
+        self._use_imu = False
+        self._fused = self._build_fused()
+
+    # -- fused per-frame device program ------------------------------------
+
+    def _build_fused(self):
+        cam = self.cam
+        cfg = self.cfg
+        sf = cfg.orb.scale_factor
+        nl = cfg.orb.n_levels
+        aml = cfg.tracking.align_min_level
+        covis_min = cfg.map.covis_min_weight
+        kf_interval = max(3, cfg.tracking.max_frames // 10)
+        depth_factor = float(cfg.tracking.depth_map_factor)
+        close_depth = self.close_depth if np.isfinite(self.close_depth) else 1e9
+        core = self.extractor.core
+        has_depth = self._HAS_DEPTH
+
+        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu):
+            feats, pyramid, d, uright = core(
+                img, depth_img if has_depth else None, depth_factor
+            )
+            dt = jnp.maximum(ts - dst.last_ts, 1e-4)
+            ekf = dst.ekf
+            # IMU fusion (TrackFusion): gyro rate overrides the filter's
+            # angular twist before prediction (Tracking.cc:215-227 style)
+            ekf = ekf._replace(
+                x=jnp.where(use_imu, ekf.x.at[3:6].set(w_imu), ekf.x)
+            )
+            ekf, T_pred = sensors.ekf_predict(ekf, dt)
+            out, _ = _track_core(
+                cam, ms,
+                feats.uv_und, feats.desc, feats.octave, feats.valid,
+                uright, pyramid, dst.last_kf_slot, T_pred,
+                scale_factor=sf, n_levels=nl, align_min_level=aml,
+            )
+            n_inl = out.n_inliers
+            track_ok = n_inl >= 10
+            # keyframe policy (NeedNewKeyFrame, Tracking.cc:753-826), fully
+            # on-device: healthy pose + association decayed or interval stale
+            healthy = n_inl >= 20
+            free = jnp.any(~ms.kf_valid)
+            fskf = dst.frames_since_kf
+            decayed = n_inl.astype(jnp.float32) < 0.9 * dst.ref_kf_inliers.astype(jnp.float32)
+            need_kf = (
+                mapping_enabled & track_ok & healthy & free
+                & (fskf >= 2) & (decayed | (fskf >= kf_interval))
+            )
+            stored_pyr = tuple(pyramid[KF_STORE_MIN_LEVEL:])
+
+            def kf_branch(ms):
+                ms2, slot, _, Tcw_ref = _kf_core(
+                    cam, ms, out.Tcw,
+                    feats.uv, feats.uv_und, feats.octave, feats.angle,
+                    feats.desc, feats.valid, d, uright, out.assoc, stored_pyr,
+                    dst.frame_id, ts, dst.last_kf_slot,
+                    jnp.asarray(close_depth, jnp.float32),
+                    scale_factor=sf, n_levels=nl, covis_min=covis_min,
+                )
+                return ms2, slot, Tcw_ref
+
+            def skip_branch(ms):
+                return ms, dst.last_kf_slot, out.Tcw
+
+            ms, slot, Tcw_fin = jax.lax.cond(need_kf, kf_branch, skip_branch, ms)
+            # reported pose: last accepted pose while tracking is failing
+            # (the reference reports the last known pose when LOST)
+            T_report = jnp.where(track_ok, Tcw_fin, ekf.last_pose)
+            ekf = sensors.ekf_update(ekf, Tcw_fin, dt, track_ok)
+            dst2 = DeviceState(
+                ekf=ekf,
+                last_kf_slot=jnp.where(need_kf, slot, dst.last_kf_slot),
+                frames_since_kf=jnp.where(need_kf, 0, fskf + 1),
+                ref_kf_inliers=jnp.where(need_kf, n_inl, dst.ref_kf_inliers),
+                frame_id=dst.frame_id + 1,
+                last_ts=ts,
+            )
+            packed = jnp.concatenate(
+                [
+                    T_report.ravel(),
+                    jnp.stack(
+                        [
+                            n_inl.astype(jnp.float32),
+                            out.n_matches.astype(jnp.float32),
+                            out.align_error,
+                            need_kf.astype(jnp.float32),
+                            slot.astype(jnp.float32),
+                            jnp.sum(ms.kf_valid).astype(jnp.float32),
+                            jnp.sum(ms.pt_valid).astype(jnp.float32),
+                        ]
+                    ),
+                ]
+            )
+            return ms, dst2, packed, T_report, feats, pyramid, d, uright
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # -- async readback ------------------------------------------------------
+
+    def _drain_one(self):
+        idx, packed = self._pending.pop(0)
+        p = np.asarray(packed)
+        n_inl = int(p[PACK_INLIERS])
+        pose = p[PACK_POSE].reshape(4, 4)
+        self.trajectory[idx] = pose
+        self.st.T_last = pose
+        if bool(p[PACK_NEED_KF]):
+            slot = int(p[PACK_KF_SLOT])
+            self.st.last_kf_slot = slot
+            self.st.ref_kf_inliers = n_inl
+            self.kf_events.append(slot)
+        if n_inl < 10:
+            self._lost_streak += 1
+            if self._lost_streak >= self.LOST_PATIENCE and self.mapping_enabled:
+                self.st.status = "LOST"
+            elif not self.mapping_enabled:
+                # localization mode relocalizes immediately (no map to damage)
+                self.st.status = "LOST"
+        else:
+            self._lost_streak = 0
+            if self.st.status != "NOT_INITIALIZED":
+                self.st.status = "OK"
+
+    def flush(self):
+        """Drain every in-flight frame (call before reading host state)."""
+        while self._pending:
+            self._drain_one()
+
+    # -- host API ------------------------------------------------------------
+
+    def inject_angular_rate(self, w):
+        """Feed a gyro angular-rate measurement for the next frame
+        (TrackFusion path; Tracking.cc:215-227)."""
+        self._w_imu = np.asarray(w, np.float32)
+        self._use_imu = True
+
+    def reset_reference(self, slot: int, Tcw=None):
+        """Re-anchor tracking after an external map update (loop closure):
+        new reference KF + restart the motion filter from its pose."""
+        self.flush()
+        T = jnp.asarray(Tcw) if Tcw is not None else self.ms.kf_Tcw[slot]
+        self.st.last_kf_slot = int(slot)
+        self.st.T_last = T
+        if self.dst is not None:
+            self.dst = self.dst._replace(
+                ekf=sensors.ekf_init(T),
+                last_kf_slot=jnp.asarray(slot, jnp.int32),
+            )
 
     def _stored_pyr(self, frame: Frame):
         return tuple(frame.pyramid[KF_STORE_MIN_LEVEL:])
@@ -443,18 +643,28 @@ class RGBDTracker:
         self.st.T_last = frame.Tcw
         self.st.velocity = jnp.eye(4)
         self.st.last_ts = timestamp
-        self.ekf.update(np.asarray(frame.Tcw), 1.0 / max(self.cam.fps, 1.0))
         self.st.last_frame = frame
         self.st.status = "OK"
         self.st.frames_since_kf = 0
         self.st.ref_kf_inliers = int(jnp.sum(self.st.last_assoc >= 0))
+        self._start_device_state(slot, frame.Tcw, timestamp)
 
-    def track(self, img, depth_img, timestamp: float) -> np.ndarray:
-        frame = make_frame(
-            self.extractor, img, depth_img=depth_img,
-            depth_factor=self.cfg.tracking.depth_map_factor,
+    def _start_device_state(self, slot: int, Tcw, timestamp: float):
+        self.dst = DeviceState(
+            ekf=sensors.ekf_init(Tcw),
+            last_kf_slot=jnp.asarray(slot, jnp.int32),
+            frames_since_kf=jnp.asarray(0, jnp.int32),
+            ref_kf_inliers=jnp.asarray(self.st.ref_kf_inliers, jnp.int32),
+            frame_id=jnp.asarray(self.st.frame_id, jnp.int32),
+            last_ts=jnp.asarray(timestamp, jnp.float32),
         )
+
+    def track(self, img, depth_img, timestamp: float):
         if self.st.status == "NOT_INITIALIZED":
+            frame = make_frame(
+                self.extractor, img, depth_img=depth_img,
+                depth_factor=self.cfg.tracking.depth_map_factor,
+            )
             self._initialize(frame, timestamp)
             pose = self.st.T_last if self.st.status == "OK" else frame.Tcw
             self.trajectory.append(np.asarray(pose))
@@ -462,103 +672,73 @@ class RGBDTracker:
             self.st.frame_id += 1
             return self.trajectory[-1]
 
-        st = self.st
-        f = frame.features
-        dt = max(timestamp - st.last_ts, 1e-4)
+        if self.st.status == "LOST":
+            return self._relocalize_step(img, depth_img, timestamp)
 
-        if st.status == "LOST":
-            # recovery via batched relocalization against all keyframes
-            # (Tracking.cc:1064-1097; the O(N_KF) scan is one vmapped align)
-            rr = relocalize(
-                self.cam, self.ms,
-                f.uv_und, f.desc, f.octave, f.valid, frame.uright, frame.pyramid,
-                scale_factor=self.cfg.orb.scale_factor,
-                n_levels=self.cfg.orb.n_levels,
-                store_min_level=KF_STORE_MIN_LEVEL,
+        st = self.st
+        img_d = jnp.asarray(img)
+        dep_d = jnp.asarray(depth_img) if self._HAS_DEPTH else img_d
+        self.ms, self.dst, packed, T_report, feats, pyramid, d, uright = (
+            self._fused(
+                self.ms, self.dst, img_d, dep_d,
+                jnp.asarray(timestamp, jnp.float32),
+                jnp.asarray(self.mapping_enabled),
+                jnp.asarray(self._w_imu),
+                jnp.asarray(self._use_imu),
             )
-            if bool(rr.success):
-                Tcw = rr.Tcw
-                frame = frame._replace(Tcw=Tcw)
-                st.status = "OK"
-                st.last_kf_slot = int(rr.best_kf)
-                st.last_assoc = rr.assoc
-                st.T_last = Tcw
-                st.last_ts = timestamp
-                st.last_frame = frame
-                st.frames_since_kf = 0
-                self.ekf.restart()
-                self.ekf.update(np.asarray(Tcw), dt)
-            # while lost, report the last known pose
-            st.frame_id += 1
-            self.trajectory.append(np.asarray(frame.Tcw if bool(rr.success) else st.T_last))
-            self.timestamps.append(timestamp)
-            return self.trajectory[-1]
-        # EKF prediction seeds the alignment (Tracking.cc:661); before the
-        # filter has converged it degrades to the last pose
-        T_pred_np = self.ekf.predict(dt)
-        T_pred = jnp.asarray(T_pred_np) if T_pred_np is not None else st.T_last
-        out, packed = track_step(
+        )
+        self._use_imu = False
+        # start the D2H copy of the result vector NOW; inspect it
+        # PIPELINE_DEPTH frames later when the tunnel latency has elapsed
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self.trajectory.append(T_report)  # device array; drain replaces w/ np
+        self.timestamps.append(timestamp)
+        idx = len(self.trajectory) - 1
+        self._pending.append((idx, packed))
+        st.last_frame = Frame(feats, tuple(pyramid), d, uright, T_report)
+        st.last_ts = timestamp
+        st.frame_id += 1
+        if len(self._pending) > self.PIPELINE_DEPTH:
+            self._drain_one()
+        return self.trajectory[idx]
+
+    def _relocalize_step(self, img, depth_img, timestamp: float):
+        """Recovery via batched relocalization against all keyframes
+        (Tracking.cc:1064-1097; the O(N_KF) scan is one vmapped align)."""
+        self.flush()
+        st = self.st
+        frame = make_frame(
+            self.extractor, img, depth_img=depth_img,
+            depth_factor=self.cfg.tracking.depth_map_factor,
+        )
+        f = frame.features
+        rr = relocalize(
             self.cam, self.ms,
             f.uv_und, f.desc, f.octave, f.valid, frame.uright, frame.pyramid,
-            jnp.asarray(st.last_kf_slot, jnp.int32), T_pred,
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
-            align_min_level=self.cfg.tracking.align_min_level,
+            store_min_level=KF_STORE_MIN_LEVEL,
         )
-        packed_np = np.asarray(packed)  # THE per-frame device->host sync
-        Tcw_np = packed_np[:16].reshape(4, 4)
-        n_inliers = int(packed_np[16])
-        Tcw = out.Tcw
-        frame = frame._replace(Tcw=Tcw)
-
-        # keyframe policy (NeedNewKeyFrame, Tracking.cc:753-826): insert when
-        # association decays below 90% of the reference keyframe's strength
-        # or the interval goes stale — but only while tracking is healthy
-        # (inserting a KF from a bad pose bakes drift into new points)
-        # reference gate: mnMatchesInliers > 15 (Tracking.cc:806,823); a KF
-        # from a weak-but-valid pose lets triangulation grow the map back,
-        # which is the recovery path monocular depends on
-        healthy = n_inliers >= 20
-        need_kf = healthy and self.mapping_enabled and st.frames_since_kf >= 2 and (
-            n_inliers < 0.9 * st.ref_kf_inliers
-            or st.frames_since_kf >= max(3, self.cfg.tracking.max_frames // 10)
-        )
-        if need_kf:
-            if not bool(jnp.any(~self.ms.kf_valid)):
-                raise RuntimeError("keyframe pool exhausted")
-            self.ms, slot_d, new_assoc, Tcw = kf_pipeline(
-                self.cam, self.ms, Tcw,
-                f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
-                frame.depth, frame.uright, out.assoc, self._stored_pyr(frame),
-                jnp.asarray(st.frame_id, jnp.int32),
-                jnp.asarray(timestamp, jnp.float32),
-                jnp.asarray(st.last_kf_slot, jnp.int32),
-                jnp.asarray(self.close_depth, jnp.float32),
-                scale_factor=self.cfg.orb.scale_factor,
-                n_levels=self.cfg.orb.n_levels,
-                covis_min=self.cfg.map.covis_min_weight,
-            )
+        if bool(rr.success):
+            Tcw = rr.Tcw
             frame = frame._replace(Tcw=Tcw)
-            st.last_assoc = new_assoc
-            st.last_kf_slot = int(slot_d)
+            st.status = "OK"
+            st.last_kf_slot = int(rr.best_kf)
+            st.last_assoc = rr.assoc
+            st.T_last = Tcw
+            st.last_frame = frame
             st.frames_since_kf = 0
-            st.ref_kf_inliers = n_inliers
-        else:
-            st.last_assoc = out.assoc
-            st.frames_since_kf += 1
-
-        if n_inliers < 10:
-            st.status = "LOST"
-            self.ekf.restart()
-        else:
-            # EKF measurement update with innovation gating (Tracking.cc:245)
-            self.ekf.update(Tcw_np if not need_kf else np.asarray(Tcw), dt)
-
-        st.T_last = Tcw
-        st.last_ts = timestamp
-        st.last_frame = frame
+            st.ref_kf_inliers = max(int(jnp.sum(rr.assoc >= 0)), 1)
+            self._lost_streak = 0
+            self._start_device_state(int(rr.best_kf), Tcw, timestamp)
+        # while lost, report the last known pose
         st.frame_id += 1
-        self.trajectory.append(Tcw_np if not need_kf else np.asarray(Tcw))
+        st.last_ts = timestamp
+        pose = np.asarray(frame.Tcw if bool(rr.success) else st.T_last)
+        self.trajectory.append(pose)
         self.timestamps.append(timestamp)
         return self.trajectory[-1]
 
@@ -567,6 +747,8 @@ class MonoTracker(RGBDTracker):
     """Monocular front-end: two-view bootstrap (H/F RANSAC) + map growth by
     epipolar triangulation. Scale is set by normalizing the initial map's
     median depth to 1 (CreateInitialMapMonocular, Tracking.cc:458-504)."""
+
+    _HAS_DEPTH = False
 
     def __init__(self, cfg: SystemConfig):
         super().__init__(cfg)
@@ -666,9 +848,9 @@ class MonoTracker(RGBDTracker):
         self.st.T_last = self.ms.kf_Tcw[slot2]
         self.st.velocity = jnp.eye(4)
         self.st.last_ts = timestamp
-        self.ekf.update(np.asarray(self.st.T_last), max(timestamp - self._init_ts, 1e-3))
         self.st.last_frame = frame
         self.st.status = "OK"
         self.st.frames_since_kf = 0
         self.st.ref_kf_inliers = int(jnp.sum(self.st.last_assoc >= 0))
+        self._start_device_state(int(slot2), self.st.T_last, timestamp)
         self._init_frame = None

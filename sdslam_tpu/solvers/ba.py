@@ -358,26 +358,44 @@ def _gn_iteration(
     return kf_Tcw_new, pt_pos_new, cost_cur
 
 
+def _edge_chi2(cam, kf_Tcw, pt_pos, es: _EdgeStatic, obs_ok):
+    """chi2 [P,M] + (ok, stereo) masks, residuals only — flat [E] scalar
+    formulation (no Jacobians, no [.,3,6] einsums)."""
+    P, Mo, K = es.cam_onehot.shape
+    E = P * Mo
+    Uflat = es.cam_onehot.reshape(E, K)
+    T16 = (Uflat @ kf_Tcw.reshape(K, 16)).T  # [16, E]
+    Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
+    x = T16[0] * Xw[0] + T16[1] * Xw[1] + T16[2] * Xw[2] + T16[3]
+    y = T16[4] * Xw[0] + T16[5] * Xw[1] + T16[6] * Xw[2] + T16[7]
+    z = T16[8] * Xw[0] + T16[9] * Xw[1] + T16[10] * Xw[2] + T16[11]
+    zi = 1.0 / jnp.maximum(z, 1e-6)
+    u = cam.fx * x * zi + cam.cx
+    v = cam.fy * y * zi + cam.cy
+    ur = u - cam.bf * zi
+    stereo = es.stereo.reshape(E)
+    uv_obs = es.uv_obs.reshape(E, 2)
+    r0 = u - uv_obs[:, 0]
+    r1 = v - uv_obs[:, 1]
+    r2 = jnp.where(stereo, ur - es.ur_obs.reshape(E), 0.0)
+    chi2 = (r0 * r0 + r1 * r1 + r2 * r2) * es.inv_sigma2.reshape(E)
+    ok = obs_ok.reshape(E) & (z > 0.05)
+    return chi2.reshape(P, Mo), ok.reshape(P, Mo), es.stereo
+
+
 def _robust_cost(cam, kf_Tcw, pt_pos, es, obs_ok, scale_factor):
     """Total Huber-robustified cost over included edges (for LM accept/reject)."""
-    r, _, _, info, stereo, behind = _edge_terms_from(
-        cam, kf_Tcw, pt_pos, es, scale_factor
-    )
-    ok = obs_ok & (~behind)
-    chi2 = jnp.sum(r * r, -1) * info
+    chi2, ok, stereo = _edge_chi2(cam, kf_Tcw, pt_pos, es, obs_ok)
     delta = jnp.where(stereo, HUBER_STEREO, HUBER_MONO)
     d2 = delta * delta
-    rho = jnp.where(chi2 <= d2, chi2, 2.0 * delta * jnp.sqrt(chi2) - d2)
+    rho = jnp.where(chi2 <= d2, chi2, 2.0 * delta * jnp.sqrt(chi2 + 1e-12) - d2)
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
 def _chi2(cam, kf_Tcw, pt_pos, es, obs_ok, scale_factor):
-    r, _, _, info, stereo, behind = _edge_terms_from(
-        cam, kf_Tcw, pt_pos, es, scale_factor
-    )
-    chi2 = jnp.sum(r * r, -1) * info
+    chi2, ok, stereo = _edge_chi2(cam, kf_Tcw, pt_pos, es, obs_ok)
     th = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
-    inlier = obs_ok & (~behind) & (chi2 <= th)
+    inlier = obs_ok & ok & (chi2 <= th)
     mean = jnp.sum(jnp.where(inlier, chi2, 0.0)) / jnp.maximum(jnp.sum(inlier), 1)
     return chi2, inlier, mean
 
@@ -396,10 +414,13 @@ def bundle_adjust(
     iters2: int = 6,
     max_obs: int = 16,
     lm_lambda: float = 1e-4,
+    obs_kf=None,
+    obs_kp=None,
 ) -> BAResult:
     """Two-stage BA (5 iters -> outlier erase -> 10 iters), the reference's
     LocalBundleAdjustment schedule (Optimizer.cc:608-653)."""
-    obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
+    if obs_kf is None:
+        obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
     obs_ok = obs_kf >= 0
     es = _prep_edges(
         obs_kf, obs_kp, ms.kf_uv_und, ms.kf_uright, ms.kf_octave,
@@ -416,8 +437,18 @@ def bundle_adjust(
     # residuals would act as a wrong anchor and bias every camera observing
     # it (the reference's BA graphs likewise contain only optimized points)
     obs_ok = obs_ok & pt_act[:, None]
+    kf_Tcw, pt_pos, obs_in, mean = _ba_core(
+        cam, ms.kf_Tcw, ms.pt_pos, es, obs_ok, cam_act, pt_act,
+        scale_factor, iters1, iters2, lm_lambda,
+    )
+    return BAResult(kf_Tcw, pt_pos, obs_in, mean)
 
-    kf_Tcw, pt_pos = ms.kf_Tcw, ms.pt_pos
+
+def _ba_core(
+    cam, kf_Tcw, pt_pos, es, obs_ok, cam_act, pt_act,
+    scale_factor, iters1: int, iters2: int, lm_lambda: float,
+):
+    """The LM schedule over an arbitrary (possibly compacted) BA system."""
 
     def stage(carry, n_iters, use_huber):
         """Levenberg-Marquardt with deferred accept/reject: each iteration
@@ -465,7 +496,7 @@ def bundle_adjust(
     obs_ok2 = obs_ok & inlier
     kf_Tcw, pt_pos = stage((kf_Tcw, pt_pos, obs_ok2), iters2, True)
     chi2, inlier, mean = _chi2(cam, kf_Tcw, pt_pos, es, obs_ok2, scale_factor)
-    return BAResult(kf_Tcw, pt_pos, obs_ok2 & inlier, mean)
+    return kf_Tcw, pt_pos, obs_ok2 & inlier, mean
 
 
 def apply_ba_result(
@@ -490,12 +521,26 @@ def local_ba(
     center_kf: int,
     scale_factor: float = 2.0,
     covis_min: int = 15,
-    max_obs: int = 16,
+    max_obs: int = 10,
     covis=None,
+    max_local_kfs: int = 24,
+    max_local_pts: int = 2048,
 ) -> M.MapState:
     """Local BA around a keyframe: optimize it + its covisible neighbors +
-    their points; every other KF observing those points stays fixed
-    (Optimizer::LocalBundleAdjustment, Optimizer.cc:417-714)."""
+    their points; frontier KFs observing those points stay fixed
+    (Optimizer::LocalBundleAdjustment, Optimizer.cc:417-714).
+
+    TPU design: the local problem is COMPACTED into small static shapes —
+    [KL] camera slots (locals + newest frontier anchors) and [PL] point
+    slots — before the LM iterations. The full-pool formulation spent ~97%
+    of its FLOPs on empty slots (a 6-KF/1.5k-point local window inside a
+    64-KF/8k-point pool). Overflowing locals/points/edges are dropped from
+    this BA pass (bounded-compute policy; they are picked up by later
+    passes), unlike the reference, which grows its g2o graph without bound
+    (Optimizer.cc:447-460).
+    """
+    KL = min(max_local_kfs, ms.K)
+    PL = min(max_local_pts, ms.P)
     cov = M.covisibility(ms) if covis is None else covis
     local = cov[center_kf] >= covis_min
     local = local.at[center_kf].set(True)
@@ -513,10 +558,78 @@ def local_ba(
     pt_local = pt_local.at[jnp.where(contrib >= 0, contrib, ms.P).ravel()].set(
         True, mode="drop"
     )
-    res = bundle_adjust(
-        cam, ms, local, pt_local, scale_factor=scale_factor, max_obs=max_obs
+    pt_local = pt_local & ms.pt_valid
+    # frontier: fixed anchors observing local points (Optimizer.cc:447-460)
+    hit = (obs >= 0) & pt_local[jnp.clip(obs, 0, ms.P - 1)]
+    frontier = jnp.any(hit, axis=1) & ms.kf_valid & (~local)
+
+    # --- camera compaction: locals first, then newest frontier ---
+    fid = ms.kf_frame_id.astype(jnp.float32)
+    fid = fid / jnp.maximum(jnp.max(fid), 1.0)  # in [0,1] recency tie-break
+    score = jnp.where(local, 4.0, 0.0) + jnp.where(frontier, 2.0, 0.0) + fid
+    top_score, cam_idx = jax.lax.top_k(score, KL)
+    cam_in = top_score >= 2.0
+    cam_idx = jnp.clip(cam_idx, 0, ms.K - 1)
+    sub_T = ms.kf_Tcw[cam_idx]
+    cam_act = local[cam_idx] & cam_in
+    # safety: if no fixed anchor made the cut, freeze the oldest selected
+    any_fixed = jnp.any(cam_in & (~cam_act))
+    sel_fid = jnp.where(cam_in, ms.kf_frame_id[cam_idx], jnp.iinfo(jnp.int32).max)
+    oldest_sel = jnp.argmin(sel_fid)
+    cam_act = cam_act.at[oldest_sel].set(cam_act[oldest_sel] & any_fixed)
+
+    # --- point compaction ---
+    top_p, pt_idx = jax.lax.top_k(pt_local.astype(jnp.int32), PL)
+    pt_in = top_p > 0
+    pt_idx = jnp.clip(pt_idx, 0, ms.P - 1)
+    sub_X = ms.pt_pos[pt_idx]
+    pt_remap = jnp.full((ms.P,), -1, jnp.int32)
+    pt_remap = pt_remap.at[jnp.where(pt_in, pt_idx, ms.P)].set(
+        jnp.arange(PL, dtype=jnp.int32), mode="drop"
     )
-    return apply_ba_result(ms, res, max_obs=max_obs)
+
+    # --- compact observation lists (rows = compact cameras) ---
+    obs_c = jnp.where(cam_in[:, None], obs[cam_idx], -1)  # [KL,N] orig pt ids
+    obs_cp = jnp.where(obs_c >= 0, pt_remap[jnp.clip(obs_c, 0, ms.P - 1)], -1)
+    obs_row, obs_kp = M.obs_lists_from_table(obs_cp, PL, max_obs)  # [PL,M]
+    obs_ok = obs_row >= 0
+    row_s = jnp.clip(obs_row, 0, KL - 1)
+    kp_s = jnp.clip(obs_kp, 0, ms.N - 1)
+    c_orig = cam_idx[row_s]  # [PL,M] original KF ids
+    uv_obs = ms.kf_uv_und[c_orig, kp_s]
+    ur_obs = ms.kf_uright[c_orig, kp_s]
+    inv_sigma2 = 1.0 / scale_factor ** (
+        2.0 * ms.kf_octave[c_orig, kp_s].astype(jnp.float32)
+    )
+    onehot = (
+        (row_s[..., None] == jnp.arange(KL)[None, None, :])
+        & obs_ok[..., None]
+    ).astype(jnp.float32)
+    es = _EdgeStatic(uv_obs, ur_obs, inv_sigma2, ur_obs >= 0, onehot)
+
+    n_obs = jnp.sum(obs_ok, axis=1)
+    n_stereo = jnp.sum(obs_ok & es.stereo, axis=1)
+    pt_act = pt_in & ((n_obs >= 2) | (n_stereo >= 1))
+    obs_ok = obs_ok & pt_act[:, None]
+
+    T_new, X_new, obs_in, _ = _ba_core(
+        cam, sub_T, sub_X, es, obs_ok, cam_act, pt_act,
+        scale_factor, 4, 6, 1e-4,
+    )
+
+    # --- scatter back ---
+    kf_Tcw = ms.kf_Tcw.at[jnp.where(cam_act, cam_idx, ms.K)].set(
+        T_new, mode="drop"
+    )
+    pt_pos = ms.pt_pos.at[jnp.where(pt_act, pt_idx, ms.P)].set(
+        X_new, mode="drop"
+    )
+    # erase outlier observations (Optimizer.cc:686-695)
+    bad = obs_ok & (~obs_in)
+    kf_mp = ms.kf_mp.at[
+        jnp.where(bad, c_orig, ms.K).ravel(), kp_s.ravel()
+    ].set(-1, mode="drop")
+    return ms._replace(kf_Tcw=kf_Tcw, pt_pos=pt_pos, kf_mp=kf_mp)
 
 
 def global_ba(
@@ -530,8 +643,10 @@ def global_ba(
     """Full-map BA with one gauge-fixing keyframe
     (GlobalBundleAdjustemnt [sic], Optimizer.cc:46-50)."""
     cam_active = ms.kf_valid.at[fixed_kf].set(False)
+    obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
     res = bundle_adjust(
         cam, ms, cam_active, ms.pt_valid,
         scale_factor=scale_factor, iters1=iters // 2, iters2=iters, max_obs=max_obs,
+        obs_kf=obs_kf, obs_kp=obs_kp,
     )
-    return apply_ba_result(ms, res, max_obs=max_obs)
+    return apply_ba_result(ms, res, obs_kf=obs_kf, obs_kp=obs_kp, max_obs=max_obs)

@@ -95,7 +95,7 @@ class SDSlamSystem:
         self.imu.feed(m[:3], m[3:6], dt)
         # gyro rate directly overrides the EKF's angular velocity estimate
         # (IMU model: camera drives position, IMU smooths rotation, IMU.cc)
-        self.tracker.ekf.x[3:6] = self.imu.angular_rate()
+        self.tracker.inject_angular_rate(self.imu.angular_rate())
         pose = self.tracker.track(image, timestamp)
         self._after_frame()
         return pose
@@ -103,17 +103,20 @@ class SDSlamSystem:
     def _after_frame(self):
         if self.localization_only:
             return
-        kf_count = int(self.tracker.ms.n_keyframes())
-        if self.loop_closing_enabled and kf_count > self._last_kf_count:
-            slot = self.tracker.st.last_kf_slot
+        # new-KF events surface through the tracker's async readback queue —
+        # loop closing runs a few frames after the keyframe, exactly like the
+        # reference's decoupled LoopClosing thread (LoopClosing.cc:61-87)
+        if not self.loop_closing_enabled:
+            self.tracker.kf_events.clear()
+            return
+        while self.tracker.kf_events:
+            slot = self.tracker.kf_events.pop(0)
             self.tracker.ms, info = self.loop_closer.process_keyframe(
                 self.tracker.ms, slot
             )
             if info.get("corrected"):
                 # tracking state must follow the corrected map
-                self.tracker.st.T_last = self.tracker.ms.kf_Tcw[slot]
-                self.tracker.ekf.restart()
-        self._last_kf_count = kf_count
+                self.tracker.reset_reference(slot)
 
     # ------------------------------------------------------------------
     # modes / reset / state (System.cc:236-276)
@@ -133,6 +136,7 @@ class SDSlamSystem:
         self._build()
 
     def get_tracking_state(self) -> str:
+        self.tracker.flush()
         return self.tracker.st.status
 
     def map_changed(self) -> int:
@@ -144,6 +148,7 @@ class SDSlamSystem:
 
     def save_trajectory_tum(self, path: str):
         """TUM format: timestamp tx ty tz qx qy qz qw (camera-to-world)."""
+        self.tracker.flush()
         with open(path, "w") as f:
             for ts, Tcw in zip(
                 getattr(self.tracker, "timestamps", range(len(self.tracker.trajectory))),
@@ -184,13 +189,13 @@ class SDSlamSystem:
                 fields[field] = tuple(pyr)
             else:
                 fields[field] = jnp.asarray(data[field])
+        self.tracker.flush()
         self.tracker.ms = M.MapState(**fields)
         self.tracker.st.status = "LOST"
         self.tracker.st.T_last = jnp.eye(4)
         self.tracker.st.last_kf_slot = int(
             np.flatnonzero(np.asarray(self.tracker.ms.kf_valid))[-1]
         )
-        self.tracker.ekf.restart()
         self._last_kf_count = int(self.tracker.ms.n_keyframes())
 
     def shutdown(self):
