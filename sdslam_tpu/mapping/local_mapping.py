@@ -215,7 +215,8 @@ def _fundamental_from_poses(cam: CameraModel, T1w, T2w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "n_neighbors")
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "n_levels", "n_neighbors", "update_stats"),
 )
 def triangulate_new_points(
     cam: CameraModel,
@@ -226,6 +227,7 @@ def triangulate_new_points(
     n_neighbors: int = 3,
     th_desc: int = ham.TH_LOW,
     covis=None,
+    update_stats: bool = True,
 ) -> M.MapState:
     """Epipolar-search triangulation against covisible neighbors
     (CreateNewMapPoints, LocalMapping.cc:190-420): unbound keypoints of the
@@ -319,4 +321,6 @@ def triangulate_new_points(
             jnp.where(created, ids, -1), mode="drop"
         )
         ms = ms._replace(kf_mp=ms.kf_mp.at[nb].set(row))
-    return M.finalize_point_statistics(ms, scale_factor, n_levels)
+    if update_stats:
+        ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
+    return ms

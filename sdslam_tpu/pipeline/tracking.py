@@ -271,7 +271,9 @@ def keyframe_step(
     return M.finalize_point_statistics(ms, scale_factor, n_levels)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "update_stats")
+)
 def spawn_points(
     cam: CameraModel,
     ms: M.MapState,
@@ -279,6 +281,7 @@ def spawn_points(
     close_depth_th,
     scale_factor: float = 2.0,
     n_levels: int = 5,
+    update_stats: bool = True,
 ) -> M.MapState:
     """Create map points from the keyframe's close depth readings, using its
     (BA-refined) pose (CreateNewKeyFrame part 2, Tracking.cc:837-888)."""
@@ -300,7 +303,8 @@ def spawn_points(
     Xc = cam_mod.backproject(cam, uv_und, jnp.maximum(depth, 1e-3))
     pos_w = lie.se3_apply(lie.se3_inv(Tcw), Xc)
     ms, _ = M.create_points(ms, slot, want, pos_w)
-    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
+    if update_stats:
+        ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
     return ms
 
 
@@ -345,22 +349,26 @@ def _kf_core(
     # re-derived next keyframe)
     covis = M.covisibility(ms)
     ms = LM.fuse_neighbors(cam, ms, slot, scale_factor=scale_factor, covis=covis)
-    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
     ms = ba.local_ba(
         cam, ms, slot, scale_factor=scale_factor, covis_min=covis_min,
         covis=covis,
     )
     ms = spawn_points(
         cam, ms, slot, close_depth_th, scale_factor=scale_factor,
-        n_levels=n_levels,
+        n_levels=n_levels, update_stats=False,
     )
     ms = LM.triangulate_new_points(
         cam, ms, slot, scale_factor=scale_factor, n_levels=n_levels,
-        covis=covis,
+        covis=covis, update_stats=False,
     )
     ms = M.update_tracking_counters(ms, cam, ms.kf_Tcw[slot], ms.kf_mp[slot])
     ms = LM.cull_points(ms)
     ms = LM.cull_keyframes(ms, slot)
+    # ONE statistics pass for the whole mapping step (the O(P*M^2)
+    # descriptor-median/normal recompute ran 3x here before; intra-pass
+    # consumers tolerate one-KF-stale stats exactly like the reference's
+    # per-modified-point updates, MapPoint.cc:225-343)
+    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
     return ms, slot, ms.kf_mp[slot], ms.kf_Tcw[slot]
 
 
@@ -426,7 +434,11 @@ class RGBDTracker:
     """
 
     _HAS_DEPTH = True
-    PIPELINE_DEPTH = 2  # frames in flight before the host inspects results
+    # frames in flight before the host inspects results: deep enough that a
+    # drain never catches a ~45ms keyframe pass still executing (KF cadence
+    # is ~1-in-4 frames), shallow enough not to overrun the device queue
+    # (depth 6 collapsed to 8 fps on the tunnel backend)
+    PIPELINE_DEPTH = 4
     LOST_PATIENCE = 1  # <10-inlier frames before reloc (immediate, Tracking.cc:235-238)
 
     def __init__(self, cfg: SystemConfig):
@@ -463,6 +475,8 @@ class RGBDTracker:
         self.kf_events: List[int] = []  # drained slots of new KFs (loop closing)
         self._w_imu = np.zeros(3, np.float32)
         self._use_imu = False
+        self._flags_host = None
+        self._flags_dev = None
         self._fused = self._build_fused()
 
     # -- fused per-frame device program ------------------------------------
@@ -678,13 +692,21 @@ class RGBDTracker:
         st = self.st
         img_d = jnp.asarray(img)
         dep_d = jnp.asarray(depth_img) if self._HAS_DEPTH else img_d
+        # cache rarely-changing scalars on device (3 fewer H2D per frame)
+        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu))
+        if flags != self._flags_host:
+            self._flags_host = flags
+            self._flags_dev = (
+                jnp.asarray(self.mapping_enabled),
+                jnp.asarray(self._w_imu),
+                jnp.asarray(self._use_imu),
+            )
+        mapping_d, w_imu_d, use_imu_d = self._flags_dev
         self.ms, self.dst, packed, T_report, feats, pyramid, d, uright = (
             self._fused(
                 self.ms, self.dst, img_d, dep_d,
                 jnp.asarray(timestamp, jnp.float32),
-                jnp.asarray(self.mapping_enabled),
-                jnp.asarray(self._w_imu),
-                jnp.asarray(self._use_imu),
+                mapping_d, w_imu_d, use_imu_d,
             )
         )
         self._use_imu = False
