@@ -247,6 +247,28 @@ def build_obs_lists(ms: MapState, max_obs: int = 16):
     return obs_lists_from_table(observation_table(ms), ms.P, max_obs)
 
 
+def compact_indices(mask, L: int):
+    """O(P) cumsum compaction of a boolean mask into L slots (top_k is a
+    bitonic sort on TPU — ~10x dearer at pool size). Returns
+    (idx [L] original ids (clipped), in_mask [L], remap [P] -> compact or -1).
+    Entries beyond L are dropped (callers treat overflow as
+    handled-next-pass)."""
+    P = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # compact slot per entry
+    fits = mask & (pos < L)
+    tgt = jnp.where(fits, pos, L)
+    idx = jnp.full((L,), P - 1, jnp.int32).at[tgt].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
+    )
+    n = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), L)
+    in_mask = jnp.arange(L) < n
+    remap = jnp.full((P,), -1, jnp.int32)
+    remap = remap.at[jnp.where(fits, jnp.arange(P), P)].set(
+        pos.astype(jnp.int32), mode="drop"
+    )
+    return idx, in_mask, remap
+
+
 def update_point_statistics(ms: MapState, max_obs: int = 16) -> MapState:
     """Recompute representative descriptors, normals and scale bands for all
     valid points from current observations.
@@ -256,6 +278,59 @@ def update_point_statistics(ms: MapState, max_obs: int = 16) -> MapState:
     batched over the whole pool instead of per-point loops.
     """
     obs_kf, obs_kp = build_obs_lists(ms, max_obs)
+    return _point_stats_core(ms, obs_kf, obs_kp, ms.pt_pos, max_obs)
+
+
+def finalize_point_statistics_local(
+    ms: MapState,
+    rows_mask,
+    scale_factor: float,
+    n_levels: int,
+    max_pts: int = 2048,
+    max_obs: int = 16,
+) -> MapState:
+    """finalize_point_statistics restricted to the points observed by the
+    keyframe rows in `rows_mask` [K] — the only points whose observations or
+    positions a keyframe mapping pass can change. The O(P*M^2) median-
+    descriptor/normal recompute runs on a [max_pts] compacted subset instead
+    of the whole pool (the reference likewise updates only modified points,
+    MapPoint.cc:225-343). Overflowing points keep their previous (valid,
+    slightly stale) statistics."""
+    P = ms.P
+    obs = observation_table(ms)  # [K,N]
+    sel = rows_mask[:, None] & (obs >= 0)
+    touched = jnp.zeros((P,), bool)
+    touched = touched.at[jnp.where(sel, jnp.clip(obs, 0, P - 1), P)].set(
+        True, mode="drop"
+    )
+    touched &= ms.pt_valid
+    PL = min(max_pts, P)
+    pt_idx, pt_in, pt_remap = compact_indices(touched, PL)
+    # full table remapped to compact ids: a touched point's observations from
+    # rows OUTSIDE rows_mask still count toward its statistics
+    obs_c = jnp.where(obs >= 0, pt_remap[jnp.clip(obs, 0, P - 1)], -1)
+    obs_row, obs_kp = obs_lists_from_table(obs_c, PL, max_obs)
+    rep_desc, normal, ref_dist, ref_oct, cnt = _point_stats_core(
+        ms, obs_row, obs_kp, ms.pt_pos[pt_idx], max_obs
+    )
+    has = (cnt > 0) & pt_in
+    level_scale = scale_factor**ref_oct
+    max_dist = ref_dist * level_scale
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    tgt = jnp.where(has, pt_idx, P)
+    return ms._replace(
+        pt_desc=ms.pt_desc.at[tgt].set(rep_desc, mode="drop"),
+        pt_normal=ms.pt_normal.at[tgt].set(normal, mode="drop"),
+        pt_min_dist=ms.pt_min_dist.at[tgt].set(min_dist, mode="drop"),
+        pt_max_dist=ms.pt_max_dist.at[tgt].set(max_dist, mode="drop"),
+    )
+
+
+def _point_stats_core(ms: MapState, obs_kf, obs_kp, pt_pos, max_obs: int = 16):
+    """Stats for an arbitrary point subset given its observation lists.
+
+    obs_kf/obs_kp: [Q, M] (-1 padded, rows = original KF indices);
+    pt_pos: [Q, 3]. Returns (rep_desc, normal, ref_dist, ref_oct, cnt)."""
     M = max_obs
     has = obs_kf >= 0  # [P,M]
     kf_safe = jnp.clip(obs_kf, 0, ms.K - 1)
@@ -283,7 +358,7 @@ def update_point_statistics(ms: MapState, max_obs: int = 16) -> MapState:
     Twc = lie.se3_inv(ms.kf_Tcw)  # [K,4,4]
     centers = lie.se3_t(Twc)  # [K,3]
     cen = centers[kf_safe]  # [P,M,3]
-    vec = ms.pt_pos[:, None, :] - cen
+    vec = pt_pos[:, None, :] - cen
     dist = jnp.linalg.norm(vec, axis=-1)
     dirn = vec / jnp.maximum(dist[..., None], 1e-9)
     nsum = jnp.sum(jnp.where(has[..., None], dirn, 0.0), axis=1)
@@ -292,7 +367,7 @@ def update_point_statistics(ms: MapState, max_obs: int = 16) -> MapState:
     # scale band from the reference observation (use best-descriptor obs)
     ref_kf = jnp.take_along_axis(kf_safe, best[:, None], 1)[:, 0]
     ref_kp = jnp.take_along_axis(kp_safe, best[:, None], 1)[:, 0]
-    ref_dist = jnp.linalg.norm(ms.pt_pos - centers[ref_kf], axis=-1)
+    ref_dist = jnp.linalg.norm(pt_pos - centers[ref_kf], axis=-1)
     ref_oct = ms.kf_octave[ref_kf, ref_kp].astype(jnp.float32)
     return rep_desc, normal, ref_dist, ref_oct, cnt
 

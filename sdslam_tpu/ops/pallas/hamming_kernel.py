@@ -25,19 +25,28 @@ WORDS = 8
 
 
 def _unpack_pm1(words):
-    """[T, 8] uint32 -> [T, 256] bf16 in {-1, +1}."""
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-    bits = (words[:, :, None] >> shifts) & jnp.uint32(1)  # [T,8,32]
-    pm1 = bits.astype(jnp.bfloat16) * 2.0 - 1.0
-    return pm1.reshape(words.shape[0], BITS)
+    """[T, 8] uint32 -> [T, 256] f32 in {-1, +1}.
+
+    Stays in 2D vector layouts throughout (mosaic rejects 3D->2D bf16
+    shape casts and uint32->bf16 casts on v5e): each word unpacks to a
+    [T, 32] slice via a broadcast shift, concatenated along the lane dim.
+    """
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+    parts = []
+    for w in range(WORDS):
+        bits = (words[:, w][:, None] >> shifts) & jnp.uint32(1)  # [T,32]
+        parts.append(bits.astype(jnp.int32))
+    return jnp.concatenate(parts, axis=1).astype(jnp.float32) * 2.0 - 1.0
 
 
 def _kernel(a_ref, b_ref, out_ref):
     sa = _unpack_pm1(a_ref[:])  # [TILE, 256]
-    sb = _unpack_pm1(b_ref[:])
+    # mosaic rejects dot_general contracting dim 1 with dim 1; transpose the
+    # rhs tile explicitly so the contraction is a standard [M,K]x[K,N]
+    sbT = jnp.transpose(_unpack_pm1(b_ref[:]))  # [256, TILE]
     dot = jax.lax.dot_general(
-        sa, sb,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        sa, sbT,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out_ref[:] = ((BITS - dot) * 0.5).astype(jnp.int32)

@@ -364,11 +364,12 @@ def _kf_core(
     ms = M.update_tracking_counters(ms, cam, ms.kf_Tcw[slot], ms.kf_mp[slot])
     ms = LM.cull_points(ms)
     ms = LM.cull_keyframes(ms, slot)
-    # ONE statistics pass for the whole mapping step (the O(P*M^2)
-    # descriptor-median/normal recompute ran 3x here before; intra-pass
-    # consumers tolerate one-KF-stale stats exactly like the reference's
-    # per-modified-point updates, MapPoint.cc:225-343)
-    ms = M.finalize_point_statistics(ms, scale_factor, n_levels)
+    # ONE statistics pass for the whole mapping step, restricted to points
+    # observed by the keyframe rows this pass touched (the new KF + its
+    # covisible window — the only rows whose bindings/positions changed).
+    # The O(P*M^2) recompute previously ran 3x over the full pool.
+    rows = (covis[slot] > 0) | (jnp.arange(ms.K) == slot)
+    ms = M.finalize_point_statistics_local(ms, rows, scale_factor, n_levels)
     return ms, slot, ms.kf_mp[slot], ms.kf_Tcw[slot]
 
 

@@ -578,15 +578,9 @@ def local_ba(
     oldest_sel = jnp.argmin(sel_fid)
     cam_act = cam_act.at[oldest_sel].set(cam_act[oldest_sel] & any_fixed)
 
-    # --- point compaction ---
-    top_p, pt_idx = jax.lax.top_k(pt_local.astype(jnp.int32), PL)
-    pt_in = top_p > 0
-    pt_idx = jnp.clip(pt_idx, 0, ms.P - 1)
+    # --- point compaction (O(P) cumsum; top_k is a bitonic sort on TPU) ---
+    pt_idx, pt_in, pt_remap = M.compact_indices(pt_local, PL)
     sub_X = ms.pt_pos[pt_idx]
-    pt_remap = jnp.full((ms.P,), -1, jnp.int32)
-    pt_remap = pt_remap.at[jnp.where(pt_in, pt_idx, ms.P)].set(
-        jnp.arange(PL, dtype=jnp.int32), mode="drop"
-    )
 
     # --- compact observation lists (rows = compact cameras) ---
     obs_c = jnp.where(cam_in[:, None], obs[cam_idx], -1)  # [KL,N] orig pt ids
