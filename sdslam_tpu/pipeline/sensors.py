@@ -215,29 +215,219 @@ class ConstantVelocityEKF:
         return True
 
 
-@dataclasses.dataclass
-class IMUTwistFilter:
-    """Mono+IMU fusion in the reference's style (IMU.cc): gyro gives the
-    angular rate directly; accelerometer (gravity-removed by a low-pass with
-    alpha = 0.27/(0.27+dt), IMU.cc:233-240) nudges the linear part.
-    Used to *predict* between camera frames; the camera pose still drives
-    the pose chain via ConstantVelocityEKF."""
+# ---------------------------------------------------------------------------
+# Full 16-state IMU EKF (parity with the reference's IMU sensor model)
+# ---------------------------------------------------------------------------
 
-    gravity_alpha_tau: float = 0.27
-    gravity: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
-    w_imu: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
-    a_imu: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
-    initialized: bool = False
 
-    def feed(self, gyro: np.ndarray, accel: np.ndarray, dt: float):
-        alpha = self.gravity_alpha_tau / (self.gravity_alpha_tau + max(dt, 1e-4))
-        if not self.initialized:
-            self.gravity = np.asarray(accel, float)
-            self.initialized = True
+def _quat_mul(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Hamilton product, [w,x,y,z] convention."""
+    pw, px, py, pz = p
+    qw, qx, qy, qz = q
+    return np.array([
+        pw * qw - px * qx - py * qy - pz * qz,
+        pw * qx + px * qw + py * qz - pz * qy,
+        pw * qy - px * qz + py * qw + pz * qx,
+        pw * qz + px * qy - py * qx + pz * qw,
+    ])
+
+
+def _quat_from_w(w: np.ndarray) -> np.ndarray:
+    """Quaternion from a rotation vector (Sensor.cc:75-93 semantics)."""
+    angle = float(np.linalg.norm(w))
+    if angle <= 0.0:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    s = np.sin(angle / 2.0) / angle
+    return np.array([np.cos(angle / 2.0), s * w[0], s * w[1], s * w[2]])
+
+
+def _quat_jac_left(q: np.ndarray) -> np.ndarray:
+    """d(p ⊗ q)/dp for fixed q: 4x4 (Sensor::QuaternionJacobian)."""
+    w, x, y, z = q
+    return np.array([
+        [w, -x, -y, -z],
+        [x, w, z, -y],
+        [y, -z, w, x],
+        [z, y, -x, w],
+    ])
+
+
+def _quat_jac_right(q: np.ndarray) -> np.ndarray:
+    """d(q ⊗ p)/dp for fixed q: 4x4 (Sensor::QuaternionJacobianRight)."""
+    w, x, y, z = q
+    return np.array([
+        [w, -x, -y, -z],
+        [x, w, -z, y],
+        [y, z, w, -x],
+        [z, -y, x, w],
+    ])
+
+
+def _dq_by_dw(q: np.ndarray, w: np.ndarray, dt: float) -> np.ndarray:
+    """d(q ⊗ exp(w·dt))/dw: 4x3 (Sensor::dq_by_dw, Sensor.cc:126-160)."""
+    n = float(np.linalg.norm(w))
+    if n == 0.0:
+        return np.vstack([np.zeros((1, 3)), np.eye(3) * (dt / 2.0)])
+    beta = n * dt / 2.0
+    sb, cb = np.sin(beta), np.cos(beta)
+    u = w / n
+    m = np.zeros((4, 3))
+    m[0] = (-dt / 2.0) * sb * u
+    for i in range(3):
+        for j in range(3):
+            if i == j:
+                m[i + 1, j] = (dt / 2.0) * cb * u[i] * u[i] + (sb / n) * (1.0 - u[i] * u[i])
+            else:
+                m[i + 1, j] = u[i] * u[j] * ((dt / 2.0) * cb - sb / n)
+    return _quat_jac_right(q) @ m
+
+
+def _pose_to_vec7(T: np.ndarray) -> np.ndarray:
+    """[t(3), q(4 wxyz)] from a 4x4 pose (Sensor::PoseToVector)."""
+    q = _R.from_matrix(np.asarray(T, float)[:3, :3]).as_quat()  # xyzw
+    return np.concatenate([np.asarray(T, float)[:3, 3],
+                           [q[3], q[0], q[1], q[2]]])
+
+
+def _vec7_to_pose(v: np.ndarray) -> np.ndarray:
+    T = np.eye(4)
+    w, x, y, z = v[3:7]
+    T[:3, :3] = _R.from_quat([x, y, z, w]).as_matrix()
+    T[:3, 3] = v[:3]
+    return T
+
+
+class IMUStateEKF:
+    """Full 16-state IMU EKF, the reference's MONOCULAR_IMU sensor model
+    (src/sensors/IMU.{h,cc} + EKF.cc): state [x(3), q(4 wxyz), v(3), w(3),
+    a(3)]; measurement [pose(7), gyro(3), accel-minus-gravity(3)] (13-dim,
+    IMU.cc:161-178); gravity tracked by a low-pass filter
+    alpha = 0.27/(0.27+dt) (IMU.cc:233-240). The camera pose drives the
+    filter; the IMU smooths/predicts — NOT preintegration (SURVEY §2.5).
+
+    Host-side float64 (16x16 matrices once per frame — the reference also
+    runs this on the CPU in doubles; device arrays would waste a tunnel
+    round trip on 2 KB of math)."""
+
+    # Sensor.cc:24-32, IMU.cc:26-29
+    COV_X2, COV_Q2, COV_V2, COV_W2, COV_A2 = 2.5e-3, 1e-5, 6.25e-4, 6.25e-4, 6.25e-4
+    SIGMA_X, SIGMA_Q, SIGMA_V, SIGMA_W = 0.05, 0.02, 4.0, 6.0
+    SIGMA_GYRO, SIGMA_ACC = 2.60, 8.94
+    GRAVITY_TAU = 0.27
+
+    def __init__(self):
+        self.restart()
+
+    def restart(self):
+        self.X = np.zeros(16)
+        self.X[3] = 1.0  # identity quaternion
+        self.P = np.zeros((16, 16))
+        self.P[0:3, 0:3] = np.eye(3) * self.COV_X2
+        self.P[3:7, 3:7] = np.eye(4) * self.COV_Q2
+        self.P[7:10, 7:10] = np.eye(3) * self.COV_V2
+        self.P[10:13, 10:13] = np.eye(3) * self.COV_W2
+        self.P[13:16, 13:16] = np.eye(3) * self.COV_A2
+        self.gravity = np.zeros(3)
+        self.updated = False
+
+    # -- model -----------------------------------------------------------
+
+    def _F(self, X: np.ndarray, dt: float) -> np.ndarray:
+        """x += v·dt; q ⊗= exp(w·dt); v += a·dt (IMU::F)."""
+        Xn = X.copy()
+        Xn[0:3] = X[0:3] + X[7:10] * dt
+        Xn[3:7] = _quat_mul(X[3:7], _quat_from_w(X[10:13] * dt))
+        Xn[7:10] = X[7:10] + X[13:16] * dt
+        return Xn
+
+    def _jF(self, X: np.ndarray, dt: float) -> np.ndarray:
+        J = np.eye(16)
+        J[0:3, 7:10] = np.eye(3) * dt
+        J[7:10, 13:16] = np.eye(3) * dt
+        J[3:7, 3:7] = _quat_jac_left(_quat_from_w(X[10:13] * dt))
+        J[3:7, 10:13] = _dq_by_dw(X[3:7], X[10:13], dt)
+        return J
+
+    def _Q(self, X: np.ndarray, dt: float) -> np.ndarray:
+        """Process noise via the G P_n Gᵀ construction (IMU::Q)."""
+        Pn = np.zeros((9, 9))
+        Pn[0:3, 0:3] = np.eye(3) * (self.SIGMA_V * dt) ** 2
+        Pn[3:6, 3:6] = np.eye(3) * (self.SIGMA_W * dt) ** 2
+        Pn[6:9, 6:9] = np.eye(3) * (self.SIGMA_ACC * dt) ** 2
+        G = np.zeros((16, 9))
+        G[0:3, 0:3] = np.eye(3) * dt
+        G[7:10, 0:3] = np.eye(3)
+        G[7:10, 6:9] = np.eye(3) * dt
+        G[10:13, 3:6] = np.eye(3)
+        G[13:16, 6:9] = np.eye(3)
+        G[3:7, 3:6] = _dq_by_dw(X[3:7], X[10:13], dt)
+        return G @ Pn @ G.T
+
+    def _R_meas(self, dt: float) -> np.ndarray:
+        Rm = np.zeros((13, 13))
+        Rm[0:3, 0:3] = np.eye(3) * (self.SIGMA_X * dt) ** 2
+        Rm[3:7, 3:7] = np.eye(4) * (self.SIGMA_Q * dt) ** 2
+        Rm[7:10, 7:10] = np.eye(3) * (self.SIGMA_GYRO * dt) ** 2
+        Rm[10:13, 10:13] = np.eye(3) * (self.SIGMA_ACC * dt) ** 2
+        return Rm
+
+    # -- filter loop (EKF.cc:44-104) ---------------------------------------
+
+    def predict(self, dt: float) -> np.ndarray:
+        """Propagate; returns the predicted camera pose. Before the first
+        update dt is treated as 0 (EKF.cc:45-50)."""
+        if not self.updated:
+            dt = 0.0
+        dt = max(dt, 0.0)
+        jF = self._jF(self.X, dt)
+        Q = self._Q(self.X, dt)
+        self.X = self._F(self.X, dt)
+        self.P = jF @ self.P @ jF.T + Q
+        return _vec7_to_pose(self.X[:7])
+
+    def update(self, pose: np.ndarray, gyro, accel, dt: float):
+        """Fuse tracked pose + raw IMU (IMU::Z builds the measurement;
+        first-ever measurement seeds the state, EKF.cc:75-78)."""
+        dt = max(dt, 1e-4)
+        alpha = self.GRAVITY_TAU / (self.GRAVITY_TAU + dt)
+        accel = np.asarray(accel, float)
+        if not self.updated:
+            self.gravity = accel.copy()
         else:
-            self.gravity = alpha * self.gravity + (1 - alpha) * np.asarray(accel, float)
-        self.w_imu = np.asarray(gyro, float)
-        self.a_imu = np.asarray(accel, float) - self.gravity
+            self.gravity = alpha * self.gravity + (1 - alpha) * accel
+        z = np.concatenate([
+            _pose_to_vec7(pose), np.asarray(gyro, float), accel - self.gravity
+        ])
+        if not self.updated:
+            self.X[:] = 0.0
+            self.X[0:7] = z[0:7]
+            self.updated = True
+            return
+        # hemisphere-align the measured quaternion (q and -q are the same
+        # rotation; a raw component difference across the sign flip would
+        # inject a huge bogus innovation — hardening the reference lacks)
+        if np.dot(z[3:7], self.X[3:7]) < 0:
+            z[3:7] = -z[3:7]
+        h = np.concatenate([self.X[0:7], self.X[10:13], self.X[13:16]])
+        jH = np.zeros((13, 16))
+        jH[0:7, 0:7] = np.eye(7)
+        jH[7:10, 10:13] = np.eye(3)
+        jH[10:13, 13:16] = np.eye(3)
+        Rm = self._R_meas(dt)
+        y = z - h
+        S = jH @ self.P @ jH.T + Rm
+        K = self.P @ jH.T @ np.linalg.inv(S)
+        self.X = self.X + K @ y
+        self.P = self.P - K @ S @ K.T
+        n = np.linalg.norm(self.X[3:7])
+        if n > 1e-9:
+            self.X[3:7] /= n
+
+    # -- accessors used by the fusion pipeline ----------------------------
 
     def angular_rate(self) -> np.ndarray:
-        return self.w_imu
+        return self.X[10:13].copy()
+
+    def pose(self) -> np.ndarray:
+        return _vec7_to_pose(self.X[:7])
+

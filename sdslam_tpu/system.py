@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from sdslam_tpu.geometry import lie
 from sdslam_tpu.mapping import map_state as M
 from sdslam_tpu.pipeline.loop_closing import LoopCloser
-from sdslam_tpu.pipeline.sensors import IMUTwistFilter
+from sdslam_tpu.pipeline.sensors import IMUStateEKF
 from sdslam_tpu.pipeline.tracking import MonoTracker, RGBDTracker
 from sdslam_tpu.utils.config import SystemConfig
 
@@ -61,7 +61,7 @@ class SDSlamSystem:
             self.tracker = RGBDTracker(self.config)
         else:
             self.tracker = MonoTracker(self.config)
-        self.imu = IMUTwistFilter() if self.sensor == MONOCULAR_IMU else None
+        self.imu = IMUStateEKF() if self.sensor == MONOCULAR_IMU else None
         self.loop_closer = LoopCloser(
             cam=self.config.camera,
             scale_factor=self.config.orb.scale_factor,
@@ -92,10 +92,22 @@ class SDSlamSystem:
         assert self.sensor == MONOCULAR_IMU
         m = np.asarray(measurements, float).reshape(-1)
         dt = max(timestamp - self.tracker.st.last_ts, 1e-3)
-        self.imu.feed(m[:3], m[3:6], dt)
-        # gyro rate directly overrides the EKF's angular velocity estimate
-        # (IMU model: camera drives position, IMU smooths rotation, IMU.cc)
-        self.tracker.inject_angular_rate(self.imu.angular_rate())
+        # full 16-state EKF cycle (EKF::Predict/Update, Tracking.cc:215-245):
+        # propagate, then fuse the latest drained tracked pose + raw IMU.
+        # Under the async frame pipeline the pose measurement lags a few
+        # frames; the gyro channel (what the device tracker consumes) is
+        # measured directly and unaffected by the lag.
+        if (
+            self.tracker.st.status != "NOT_INITIALIZED"
+            and self.tracker.st.T_last is not None
+        ):
+            self.imu.predict(dt)
+            self.imu.update(
+                np.asarray(self.tracker.st.T_last), m[:3], m[3:6], dt
+            )
+            # gyro-driven angular rate seeds the device tracker's motion
+            # filter (camera drives position, IMU smooths rotation, IMU.cc)
+            self.tracker.inject_angular_rate(self.imu.angular_rate())
         pose = self.tracker.track(image, timestamp)
         self._after_frame()
         return pose
