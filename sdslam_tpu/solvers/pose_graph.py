@@ -78,6 +78,81 @@ def make_edges_from_covisibility(
     return PoseGraphEdges(ei, ej, S_ij, w)
 
 
+def edge_system(S_all, edges: PoseGraphEdges, K: int, fix_scale: bool):
+    """Assemble the GN normal equations of an edge set: returns
+    (H [K*7, K*7], b [K*7]) WITHOUT damping/prior — the shard-local building
+    block shared by the single-device optimizer and the distributed one
+    (parallel/dist_pose_graph.py psums these over an edge-sharded mesh)."""
+    D = 7
+
+    def residuals(S_all):
+        Si = S_all[edges.i]
+        Sj = S_all[edges.j]
+        # r = log( S_meas_ij * S_j * S_i^-1 )  [E,7]
+        return lie.sim3_log(edges.S_ij @ Sj @ lie.sim3_inv(Si))
+
+    def jac_fd(S_all):
+        """Numerical Jacobians wrt left-perturbation of S_i and S_j.
+
+        The sim3 adjoint chain is small (7x7 per edge); finite differences
+        on the 7-dim tangent are exact enough in f32 and keep the code
+        simple; each edge needs 14 perturbed evaluations, all batched."""
+        eps = 1e-4
+        r0 = residuals(S_all)
+
+        def pert(which, d):
+            delta = jnp.zeros((D,)).at[d].set(eps)
+            Sd = lie.sim3_exp(delta)
+            Si = S_all[edges.i]
+            Sj = S_all[edges.j]
+            if which == 0:
+                Si = jnp.einsum("ij,ejk->eik", Sd, Si)
+            else:
+                Sj = jnp.einsum("ij,ejk->eik", Sd, Sj)
+            r = lie.sim3_log(edges.S_ij @ Sj @ lie.sim3_inv(Si))
+            return (r - r0) / eps
+
+        Ji = jnp.stack([pert(0, d) for d in range(D)], axis=-1)  # [E,7,7]
+        Jj = jnp.stack([pert(1, d) for d in range(D)], axis=-1)
+        return r0, Ji, Jj
+
+    hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    Ui = (edges.i[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * edges.weight[:, None]
+    Uj = (edges.j[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * edges.weight[:, None]
+    r, Ji, Jj = jac_fd(S_all)
+    if fix_scale:
+        # 6-DoF mode: zero the scale tangent (RGB-D, Optimizer.cc:770)
+        scale_mask = jnp.ones((D,)).at[6].set(0.0)
+        Ji = Ji * scale_mask[None, :, None] * scale_mask[None, None, :]
+        Jj = Jj * scale_mask[None, :, None] * scale_mask[None, None, :]
+        r = r * scale_mask[None, :]
+    # assemble H [K,7,K,7] via one-hot einsums (no scatters)
+    JiU = hp("ek,erd->kerd", Ui, Ji)  # prescaled by weight
+    JjU = hp("ek,erd->kerd", Uj, Jj)
+    Jall = JiU + JjU  # [K,E,7,7] sparse-by-construction
+    H = hp("kera,lerb->kalb", Jall, Jall)
+    b = -hp("kera,er->ka", Jall, r)
+    return H.reshape(K * D, K * D), b.reshape(K * D)
+
+
+def solve_and_update(S_all, H, b, kf_valid, fixed_mask, fix_scale: bool,
+                     lm_lambda: float):
+    """Damp + solve the assembled system and apply the sim3 update."""
+    K = S_all.shape[0]
+    D = 7
+    Hk = H.reshape(K, D, K, D)
+    diag = jnp.maximum(jnp.einsum("kaka->ka", Hk), 1e-8)
+    fixed_or_invalid = fixed_mask | (~kf_valid)
+    prior = jnp.where(fixed_or_invalid[:, None], 1e12, lm_lambda * diag + 1e-6)
+    Hd = H + jnp.diag(prior.reshape(-1))
+    cfac = jax.scipy.linalg.cho_factor(Hd, lower=True)
+    delta = jax.scipy.linalg.cho_solve(cfac, b).reshape(K, D)
+    delta = delta * (~fixed_or_invalid)[:, None]
+    if fix_scale:
+        delta = delta.at[:, 6].set(0.0)
+    return jnp.einsum("kij,kjl->kil", lie.sim3_exp(delta), S_all)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_pose_graph(
     kf_Ssw,  # [K,4,4] current sim3 world->cam (sR | t), se3 embed ok
@@ -90,71 +165,11 @@ def optimize_pose_graph(
 ):
     """GN on sim3 vertices; returns corrected [K,4,4] sim3 poses."""
     K = kf_Ssw.shape[0]
-    D = 7
-
-    def residuals_and_jac(S_all):
-        Si = S_all[edges.i]
-        Sj = S_all[edges.j]
-        # r = log( S_meas_ij * S_j * S_i^-1 )  [E,7]
-        r = lie.sim3_log(edges.S_ij @ Sj @ lie.sim3_inv(Si))
-        return r
-
-    def jac_fd(S_all):
-        """Numerical Jacobians wrt left-perturbation of S_i and S_j.
-
-        The sim3 adjoint chain is small (7x7 per edge); finite differences
-        on the 7-dim tangent are exact enough in f32 and keep the code
-        simple; each edge needs 14 perturbed evaluations, all batched."""
-        eps = 1e-4
-        E = edges.i.shape[0]
-
-        def pert(which, d):
-            delta = jnp.zeros((D,)).at[d].set(eps)
-            Sd = lie.sim3_exp(delta)
-
-            def r_of(S_all_):
-                Si = S_all_[edges.i]
-                Sj = S_all_[edges.j]
-                if which == 0:
-                    Si = jnp.einsum("ij,ejk->eik", Sd, Si)
-                else:
-                    Sj = jnp.einsum("ij,ejk->eik", Sd, Sj)
-                return lie.sim3_log(edges.S_ij @ Sj @ lie.sim3_inv(Si))
-
-            return (r_of(S_all) - residuals_and_jac(S_all)) / eps
-
-        Ji = jnp.stack([pert(0, d) for d in range(D)], axis=-1)  # [E,7,7]
-        Jj = jnp.stack([pert(1, d) for d in range(D)], axis=-1)
-        return Ji, Jj
-
-    hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-    Ui = (edges.i[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * edges.weight[:, None]
-    Uj = (edges.j[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * edges.weight[:, None]
 
     def gn_step(_, S_all):
-        r = residuals_and_jac(S_all)
-        Ji, Jj = jac_fd(S_all)
-        if fix_scale:
-            # 6-DoF mode: zero the scale tangent (RGB-D, Optimizer.cc:770)
-            scale_mask = jnp.ones((D,)).at[6].set(0.0)
-            Ji = Ji * scale_mask[None, :, None] * scale_mask[None, None, :]
-            Jj = Jj * scale_mask[None, :, None] * scale_mask[None, None, :]
-            r = r * scale_mask[None, :]
-        # assemble H [K,7,K,7] via one-hot einsums (no scatters)
-        JiU = hp("ek,erd->kerd", Ui, Ji)  # prescaled by weight
-        JjU = hp("ek,erd->kerd", Uj, Jj)
-        Jall = JiU + JjU  # [K,E,7,7] sparse-by-construction
-        H = hp("kera,lerb->kalb", Jall, Jall)
-        b = -hp("kera,er->ka", Jall, r)
-        diag = jnp.maximum(jnp.einsum("kaka->ka", H.reshape(K, D, K, D)), 1e-8)
-        fixed_or_invalid = fixed_mask | (~kf_valid)
-        prior = jnp.where(fixed_or_invalid[:, None], 1e12, lm_lambda * diag + 1e-6)
-        H = H.reshape(K * D, K * D) + jnp.diag(prior.reshape(-1))
-        cfac = jax.scipy.linalg.cho_factor(H, lower=True)
-        delta = jax.scipy.linalg.cho_solve(cfac, b.reshape(-1)).reshape(K, D)
-        delta = delta * (~fixed_or_invalid)[:, None]
-        if fix_scale:
-            delta = delta.at[:, 6].set(0.0)
-        return jnp.einsum("kij,kjl->kil", lie.sim3_exp(delta), S_all)
+        H, b = edge_system(S_all, edges, K, fix_scale)
+        return solve_and_update(
+            S_all, H, b, kf_valid, fixed_mask, fix_scale, lm_lambda
+        )
 
     return jax.lax.fori_loop(0, iters, gn_step, kf_Ssw)
