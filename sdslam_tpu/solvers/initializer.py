@@ -180,7 +180,23 @@ def triangulate_linear(P1, P2, uv1, uv2):
     AtA = jnp.einsum("nij,nik->njk", A, A, precision=jax.lax.Precision.HIGHEST)
     Atb = jnp.einsum("nij,ni->nj", A, b, precision=jax.lax.Precision.HIGHEST)
     AtA = AtA + 1e-9 * jnp.eye(3)
-    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    # closed-form symmetric 3x3 solve (adjugate): jnp.linalg.solve lowers to
+    # a vmapped LU custom-call costing ~1 ms per launch on the TPU hot path
+    a00, a01, a02 = AtA[:, 0, 0], AtA[:, 0, 1], AtA[:, 0, 2]
+    a11, a12, a22 = AtA[:, 1, 1], AtA[:, 1, 2], AtA[:, 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    di = 1.0 / jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+    b0, b1, b2 = Atb[:, 0], Atb[:, 1], Atb[:, 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) * di
+    x1 = (c01 * b0 + c11 * b1 + c12 * b2) * di
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * di
+    return jnp.stack([x0, x1, x2], axis=-1)
 
 
 def _check_RT(cam: CameraModel, R, t, uv1, uv2, valid, sigma2):
