@@ -37,12 +37,30 @@ import jax.numpy as jnp
 from sdslam_tpu.geometry import lie
 from sdslam_tpu.geometry.camera import CameraModel
 from sdslam_tpu.mapping import map_state as M
+from sdslam_tpu.ops.pallas import ba_edge_kernel as bak
 
-CHI2_MONO = 5.991
-CHI2_STEREO = 7.815
-HUBER_MONO = 2.4477
-HUBER_STEREO = 2.7955
-FIXED_PRIOR = 1e12  # diagonal prior pinning fixed cameras
+from sdslam_tpu.solvers.ba_const import (  # noqa: F401 (re-exported)
+    CHI2_MONO,
+    CHI2_STEREO,
+    FIXED_PRIOR,
+    HUBER_MONO,
+    HUBER_STEREO,
+)
+
+
+# Pallas edge-assembly kernel gate: resolved once at first trace. The kernel
+# targets real TPU hardware (Mosaic); other backends use the XLA fallback.
+_EDGE_KERNEL: Optional[bool] = None
+
+
+def _edge_kernel_enabled() -> bool:
+    global _EDGE_KERNEL
+    if _EDGE_KERNEL is None:
+        try:
+            _EDGE_KERNEL = jax.devices()[0].platform == "tpu"
+        except Exception:
+            _EDGE_KERNEL = False
+    return _EDGE_KERNEL
 
 
 class BAResult(NamedTuple):
@@ -178,95 +196,137 @@ def _gn_iteration(
     Uflat = es.cam_onehot.reshape(E, K)
     # camera pose per edge, via one MXU matmul (no scattered [P,M,4,4] gather)
     T16 = (Uflat @ kf_Tcw.reshape(K, 16)).T  # [16, E]
-    r00, r01, r02, t0 = T16[0], T16[1], T16[2], T16[3]
-    r10, r11, r12, t1 = T16[4], T16[5], T16[6], T16[7]
-    r20, r21, r22, t2 = T16[8], T16[9], T16[10], T16[11]
     Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
-    X0, X1, X2 = Xw[0], Xw[1], Xw[2]
-    x = r00 * X0 + r01 * X1 + r02 * X2 + t0
-    y = r10 * X0 + r11 * X1 + r12 * X2 + t1
-    z = r20 * X0 + r21 * X1 + r22 * X2 + t2
-    zi = 1.0 / jnp.maximum(z, 1e-6)
-    zi2 = zi * zi
-    u = cam.fx * x * zi + cam.cx
-    v = cam.fy * y * zi + cam.cy
-    ur = u - cam.bf * zi
-
     stereo = es.stereo.reshape(E)
     info = es.inv_sigma2.reshape(E)
     uv_obs = es.uv_obs.reshape(E, 2)
-    res0 = u - uv_obs[:, 0]
-    res1 = v - uv_obs[:, 1]
-    res2 = jnp.where(stereo, ur - es.ur_obs.reshape(E), 0.0)
-    ok = (obs_ok.reshape(E) & (z > 0.05)).astype(f32)
-
-    chi2 = (res0 * res0 + res1 * res1 + res2 * res2) * info
-    hub = jnp.where(stereo, HUBER_STEREO, HUBER_MONO)
-    d2 = hub * hub
-    rho = jnp.where(chi2 <= d2, chi2, 2.0 * hub * jnp.sqrt(chi2 + 1e-12) - d2)
-    cost_cur = jnp.sum(rho * ok)
-
-    w = info * ok
-    if use_huber:
-        w = w * jnp.minimum(1.0, hub / jnp.maximum(jnp.sqrt(chi2 + 1e-12), 1e-9))
     cam_act_e = Uflat @ cam_active.astype(f32)  # [E]
     pt_act_e = jnp.broadcast_to(
         pt_active[:, None], (P, Mo)
     ).reshape(E).astype(f32)
 
-    # JX rows (d residual / d Xc), explicit [E] formulas
-    fx, fy, bf = cam.fx, cam.fy, cam.bf
-    st = stereo.astype(f32)
-    JX = (
-        (fx * zi, jnp.zeros_like(zi), -fx * x * zi2),
-        (jnp.zeros_like(zi), fy * zi, -fy * y * zi2),
-        (st * fx * zi, jnp.zeros_like(zi), st * (-fx * x * zi2 + bf * zi2)),
-    )
-    # Jc[r] = [JX[r] | JX[r] x Xc] (left-perturbation), masked by cam_active
-    # Jp[r] = JX[r] @ R, masked by pt_active
-    Jc = []
-    Jp = []
-    for (a, b, c_) in JX:
-        # rotational block: -JX[r] @ hat(Xc) = Xc x JX[r]
-        cx_ = c_ * y - b * z
-        cy_ = a * z - c_ * x
-        cz_ = b * x - a * y
-        Jc.append(tuple(cam_act_e * q for q in (a, b, c_, cx_, cy_, cz_)))
-        Jp.append(
-            tuple(
-                pt_act_e * q
-                for q in (
-                    a * r00 + b * r10 + c_ * r20,
-                    a * r01 + b * r11 + c_ * r21,
-                    a * r02 + b * r12 + c_ * r22,
-                )
-            )
-        )
-    res = (res0, res1, res2)
-
-    def acc_rows(Ja, Jb, na, nb, sym):
-        """Per-edge H entries sum_r w*Ja[r,i]*Jb[r,j] -> list of [E]."""
-        out = []
-        for i in range(na):
-            for j in range(i if sym else 0, nb):
-                out.append(w * sum(Ja[r][i] * Jb[r][j] for r in range(3)))
-        return out
-
-    # per-point 3x3 Hpp (6 sym comps) + bp, reduced over the M obs of each pt
     def psum(e):
         return e.reshape(P, Mo).sum(axis=1)
 
-    hpp = [psum(e) for e in acc_rows(Jp, Jp, 3, 3, True)]  # 00,01,02,11,12,22
-    bp = jnp.stack(
-        [-psum(w * sum(Jp[r][i] * res[r] for r in range(3))) for i in range(3)],
-        axis=1,
-    )  # [P,3]
+    if _edge_kernel_enabled():
+        # fused Pallas edge pass: all per-edge residual/Jacobian/H/b math in
+        # ONE kernel (the ~50 separate elementwise fusions it replaces were
+        # launch-overhead-bound, ~10x off the HBM roofline)
+        packed = jnp.concatenate(
+            [
+                T16,
+                Xw,
+                uv_obs.T,
+                es.ur_obs.reshape(1, E),
+                info[None],
+                stereo.astype(f32)[None],
+                obs_ok.reshape(E).astype(f32)[None],
+                cam_act_e[None],
+                pt_act_e[None],
+            ],
+            axis=0,
+        )  # [27, E]
+        terms = bak.ba_edge_terms(
+            packed, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, use_huber
+        )  # [55, E]
+        W_pm = terms[0:18].reshape(18, P, Mo)
+        HG = (terms[18:45] @ Uflat).T  # [K,27]
+        hpp = [psum(terms[45 + i]) for i in range(6)]  # 00,01,02,11,12,22
+        bp = terms[51:54].reshape(3, P, Mo).sum(-1).T  # [P,3]
+        cost_cur = jnp.sum(terms[54])
+    else:
+        # XLA fallback (CPU tests / non-TPU backends): identical math as
+        # explicit flat-[E] scalar formulas
+        r00, r01, r02, t0 = T16[0], T16[1], T16[2], T16[3]
+        r10, r11, r12, t1 = T16[4], T16[5], T16[6], T16[7]
+        r20, r21, r22, t2 = T16[8], T16[9], T16[10], T16[11]
+        X0, X1, X2 = Xw[0], Xw[1], Xw[2]
+        x = r00 * X0 + r01 * X1 + r02 * X2 + t0
+        y = r10 * X0 + r11 * X1 + r12 * X2 + t1
+        z = r20 * X0 + r21 * X1 + r22 * X2 + t2
+        zi = 1.0 / jnp.maximum(z, 1e-6)
+        zi2 = zi * zi
+        u = cam.fx * x * zi + cam.cx
+        v = cam.fy * y * zi + cam.cy
+        ur = u - cam.bf * zi
 
-    # per-camera 6x6 Hcc (21 sym comps) + bc (6): one [K,E]@[E,27] MXU matmul
-    g_cols = acc_rows(Jc, Jc, 6, 6, True)
-    g_cols += [-w * sum(Jc[r][i] * res[r] for r in range(3)) for i in range(6)]
-    G = jnp.stack(g_cols, axis=1)  # [E,27]
-    HG = hp("ek,ec->kc", Uflat, G)  # [K,27]
+        res0 = u - uv_obs[:, 0]
+        res1 = v - uv_obs[:, 1]
+        res2 = jnp.where(stereo, ur - es.ur_obs.reshape(E), 0.0)
+        ok = (obs_ok.reshape(E) & (z > 0.05)).astype(f32)
+
+        chi2 = (res0 * res0 + res1 * res1 + res2 * res2) * info
+        hub = jnp.where(stereo, HUBER_STEREO, HUBER_MONO)
+        d2 = hub * hub
+        rho = jnp.where(chi2 <= d2, chi2, 2.0 * hub * jnp.sqrt(chi2 + 1e-12) - d2)
+        cost_cur = jnp.sum(rho * ok)
+
+        w = info * ok
+        if use_huber:
+            w = w * jnp.minimum(
+                1.0, hub / jnp.maximum(jnp.sqrt(chi2 + 1e-12), 1e-9)
+            )
+
+        # JX rows (d residual / d Xc), explicit [E] formulas
+        fx, fy, bf = cam.fx, cam.fy, cam.bf
+        st = stereo.astype(f32)
+        JX = (
+            (fx * zi, jnp.zeros_like(zi), -fx * x * zi2),
+            (jnp.zeros_like(zi), fy * zi, -fy * y * zi2),
+            (st * fx * zi, jnp.zeros_like(zi), st * (-fx * x * zi2 + bf * zi2)),
+        )
+        # Jc[r] = [JX[r] | Xc x JX[r]] (left-perturbation), masked by
+        # cam_active; Jp[r] = JX[r] @ R, masked by pt_active
+        Jc = []
+        Jp = []
+        for (a, b, c_) in JX:
+            cx_ = c_ * y - b * z
+            cy_ = a * z - c_ * x
+            cz_ = b * x - a * y
+            Jc.append(tuple(cam_act_e * q for q in (a, b, c_, cx_, cy_, cz_)))
+            Jp.append(
+                tuple(
+                    pt_act_e * q
+                    for q in (
+                        a * r00 + b * r10 + c_ * r20,
+                        a * r01 + b * r11 + c_ * r21,
+                        a * r02 + b * r12 + c_ * r22,
+                    )
+                )
+            )
+        res = (res0, res1, res2)
+
+        def acc_rows(Ja, Jb, na, nb, sym):
+            """Per-edge H entries sum_r w*Ja[r,i]*Jb[r,j] -> list of [E]."""
+            out = []
+            for i in range(na):
+                for j in range(i if sym else 0, nb):
+                    out.append(w * sum(Ja[r][i] * Jb[r][j] for r in range(3)))
+            return out
+
+        # per-point 3x3 Hpp (6 sym comps) + bp, reduced over each pt's M obs
+        hpp = [psum(e) for e in acc_rows(Jp, Jp, 3, 3, True)]
+        bp = jnp.stack(
+            [
+                -psum(w * sum(Jp[r][i] * res[r] for r in range(3)))
+                for i in range(3)
+            ],
+            axis=1,
+        )  # [P,3]
+
+        # per-camera 6x6 Hcc (21 sym comps) + bc (6): one MXU matmul
+        g_cols = acc_rows(Jc, Jc, 6, 6, True)
+        g_cols += [
+            -w * sum(Jc[r][i] * res[r] for r in range(3)) for i in range(6)
+        ]
+        w_cols = [
+            w * sum(Jc[r][i] * Jp[r][j] for r in range(3))
+            for i in range(6)
+            for j in range(3)
+        ]
+        W_pm = jnp.stack(w_cols, axis=0).reshape(18, P, Mo)
+        G = jnp.stack(g_cols, axis=1)  # [E,27]
+        HG = hp("ek,ec->kc", Uflat, G)  # [K,27]
     tri = [(i, j) for i in range(6) for j in range(i, 6)]
     Hcc = jnp.zeros((K, 6, 6), f32)
     for idx, (i, j) in enumerate(tri):
@@ -301,13 +361,12 @@ def _gn_iteration(
     i21 = -l21 * i11 * i22
     # Linv rows: [[i00,0,0],[i10,i11,0],[i20,i21,i22]]
 
-    # W = Jc^T w Jp per edge: 18 comps [E]; V = edge->camera aggregation
-    w_cols = []
-    for i in range(6):
-        for j in range(3):
-            w_cols.append(w * sum(Jc[r][i] * Jp[r][j] for r in range(3)))
-    W18 = jnp.stack(w_cols, axis=1).reshape(P, Mo, 18)
-    V = hp("pmk,pmw->pkw", es.cam_onehot * obs_ok[..., None].astype(f32), W18)
+    # V = edge->camera aggregation of W = Jc^T w Jp (channel-major [18,P,M])
+    V = hp(
+        "pmk,wpm->pkw",
+        es.cam_onehot * obs_ok[..., None].astype(f32),
+        W_pm.reshape(18, P, Mo),
+    )
     V = V.reshape(P, K, 6, 3)
 
     # Z = V Linv^T  (so  V Hpp^-1 V^T = Z Z^T): per-point right-multiply
@@ -341,14 +400,10 @@ def _gn_iteration(
     dc = dc * cam_active[:, None]
 
     # landmark back-substitution: dp = Hpp^-1 (bp - sum_m W_m^T dc_m)
-    dc_e = (Uflat @ dc).T  # [6, E]
-    q = []
-    for jcol in range(3):
-        acc = 0.0
-        for i in range(6):
-            acc = acc + w_cols[i * 3 + jcol] * dc_e[i]
-        q.append(psum(acc))
-    Wt_dc = jnp.stack(q, axis=1)  # [P,3]
+    dc_e = (Uflat @ dc).T.reshape(6, P, Mo)
+    Wt_dc = hp(
+        "ijpm,ipm->pj", W_pm.reshape(6, 3, P, Mo), dc_e
+    )  # [P,3]
     dp = hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
 
     kf_Tcw_new = jnp.where(

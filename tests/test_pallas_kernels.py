@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA reference implementations (interpret mode on
 CPU; compiled path exercised on TPU by the bench)."""
 
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -53,3 +54,48 @@ def test_align_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(b), b_ref, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(float(chi), (r * r).sum(), rtol=1e-3)
     assert int(n) == int(m.sum())
+
+
+def test_ba_edge_kernel_matches_xla_gn():
+    """The fused BA edge kernel (interpret mode) must reproduce the XLA
+    fallback's GN step outputs on a random BA problem."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ba import CAM, make_ba_problem
+
+    from sdslam_tpu.mapping import map_state as M
+    from sdslam_tpu.solvers import ba
+
+    # own deterministic generator: the session rng's state (and thus the
+    # problem conditioning) would depend on test order, and the post-solve
+    # comparison tolerance is conditioning-sensitive
+    rng = np.random.default_rng(7)
+    ms, T_gt, X_gt, n_kf, n_pt = make_ba_problem(rng, noise_px=0.5, stereo=True)
+    obs_kf, obs_kp = M.build_obs_lists(ms, 16)
+    obs_ok = obs_kf >= 0
+    es = ba._prep_edges(
+        obs_kf, obs_kp, ms.kf_uv_und, ms.kf_uright, ms.kf_octave, 2.0, ms.K
+    )
+    cam_active = ms.kf_valid.at[0].set(False)
+
+    # force each path through the module gate
+    ba._EDGE_KERNEL = False
+    T_x, X_x, c_x = ba._gn_iteration(
+        CAM, ms.kf_Tcw, ms.pt_pos, es, obs_ok, cam_active, ms.pt_valid,
+        2.0, True, 1e-4,
+    )
+    orig_terms = ba.bak.ba_edge_terms
+    ba.bak.ba_edge_terms = functools.partial(orig_terms, interpret=True)
+    ba._EDGE_KERNEL = True
+    try:
+        T_p, X_p, c_p = ba._gn_iteration(
+            CAM, ms.kf_Tcw, ms.pt_pos, es, obs_ok, cam_active, ms.pt_valid,
+            2.0, True, 1e-4,
+        )
+    finally:
+        ba.bak.ba_edge_terms = orig_terms
+        ba._EDGE_KERNEL = None
+
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(X_p), np.asarray(X_x), atol=5e-5)
