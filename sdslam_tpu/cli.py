@@ -37,10 +37,19 @@ def main(argv=None):
     sub.add_argument("--sensor", default="rgbd", choices=["rgbd", "monocular"])
     sub.add_argument("--frames", type=int, default=30)
     _common(sub)
+    # chessboard camera calibration from an image folder
+    # (Examples/Calibration/calibration.cc: 6x4 inner corners, 30.2 mm)
+    sub = sp.add_parser("calibration")
+    sub.add_argument("image_dir")
+    sub.add_argument("--cell-mm", type=float, default=30.2)
+    sub.add_argument("--out", default="calibration.yaml")
     args = ap.parse_args(argv)
 
     from sdslam_tpu.system import MONOCULAR, MONOCULAR_IMU, RGBD, SDSlamSystem
     from sdslam_tpu.utils.config import load_config
+
+    if args.cmd == "calibration":
+        return _run_calibration(args)
 
     if args.cmd == "synthetic":
         from sdslam_tpu.geometry.camera import CameraModel
@@ -124,6 +133,41 @@ def main(argv=None):
         sysm.save_map(args.save_map)
         print(f"saved map checkpoint {args.save_map}")
     sysm.shutdown()
+
+
+def _run_calibration(args):
+    """Chessboard calibration over every image in a folder; writes the
+    estimated intrinsics as a reference-format YAML
+    (Examples/Calibration/calibration.cc)."""
+    import glob
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from sdslam_tpu.features.pattern import calibrate_from_images
+
+    paths = sorted(
+        p
+        for p in glob.glob(os.path.join(args.image_dir, "*"))
+        if p.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".pgm"))
+    )
+    if not paths:
+        raise SystemExit(f"no images found in {args.image_dir}")
+    imgs = [np.asarray(Image.open(p).convert("L")) for p in paths]
+    cam, rms = calibrate_from_images(imgs, cell=args.cell_mm / 1000.0)
+    with open(args.out, "w") as f:
+        f.write("%YAML:1.0\n\n")
+        f.write(f"Camera.Width: {cam.width}\n")
+        f.write(f"Camera.Height: {cam.height}\n")
+        f.write(f"Camera.fx: {cam.fx:.6f}\nCamera.fy: {cam.fy:.6f}\n")
+        f.write(f"Camera.cx: {cam.cx:.6f}\nCamera.cy: {cam.cy:.6f}\n")
+        f.write(f"Camera.k1: {cam.k1:.6f}\nCamera.k2: {cam.k2:.6f}\n")
+        f.write(f"Camera.p1: {cam.p1:.6f}\nCamera.p2: {cam.p2:.6f}\n")
+        f.write(f"Camera.k3: {cam.k3:.6f}\n")
+    print(f"calibrated {len(imgs)} views, reprojection RMS {rms:.4f} px")
+    print(f"wrote {args.out}")
+    return 0
 
 
 if __name__ == "__main__":
