@@ -236,6 +236,61 @@ def search_for_initialization(
     )
 
 
+def search_by_sim3(
+    cam: CameraModel,
+    S12,  # [4,4] Sim3 mapping cam-2 coordinates into cam-1
+    uv1,  # [N,2] KF1 keypoint coords (undistorted)
+    desc1,
+    valid1,  # [N] bool: keypoint bound to a map point
+    oct1,
+    X1c,  # [N,3] bound map-point positions in KF1 camera frame
+    uv2,
+    desc2,
+    valid2,
+    oct2,
+    X2c,
+    radius_px: float = 7.5,
+    th_desc: int = ham.TH_HIGH,
+    scale_factor: float = 2.0,
+) -> MatchResult:
+    """Mutual Sim3-guided matching between two keyframes' bound map points
+    (ORBmatcher::SearchBySim3, ORBmatcher.cc:734-944): project each KF's
+    points into the other image through the candidate Sim3, window-match in
+    both directions, and keep only mutually-agreeing pairs.
+
+    Returns KF2-keypoint -> KF1-keypoint assignment (same layout as the
+    brute-force loop matcher, so results merge directly)."""
+    S21 = lie.sim3_inv(S12)
+    # direction A: KF2 points into image 1 (targets = KF1 keypoints)
+    X2_in1 = lie.sim3_apply(S12, X2c)
+    uvA, zA = cam_mod.project(cam, X2_in1)
+    visA = valid2 & (zA > 0.05) & cam_mod.in_image(cam, uvA, 5.0)
+    radA = radius_px * scale_factor ** oct2.astype(jnp.float32)
+    rA = window_match(
+        uvA, desc2, visA, uv1, desc1, valid1, radA, th_desc,
+        q_octave=oct2, kp_octave=oct1, octave_window=(-1, 1),
+    )
+    # direction B: KF1 points into image 2 (targets = KF2 keypoints)
+    X1_in2 = lie.sim3_apply(S21, X1c)
+    uvB, zB = cam_mod.project(cam, X1_in2)
+    visB = valid1 & (zB > 0.05) & cam_mod.in_image(cam, uvB, 5.0)
+    radB = radius_px * scale_factor ** oct1.astype(jnp.float32)
+    rB = window_match(
+        uvB, desc1, visB, uv2, desc2, valid2, radB, th_desc,
+        q_octave=oct1, kp_octave=oct2, octave_window=(-1, 1),
+    )
+    # mutual agreement (ORBmatcher.cc:920-940): kp2 i -> kp1 j survives only
+    # if direction A also assigned kp1 j -> kp2 i
+    N1 = desc1.shape[0]
+    j = rB.kp_to_query
+    agree = (j >= 0) & (
+        rA.kp_to_query[jnp.clip(j, 0, N1 - 1)] == jnp.arange(desc2.shape[0])
+    )
+    return MatchResult(
+        jnp.where(agree, j, -1), jnp.where(agree, rB.kp_dist, ham.BIG)
+    )
+
+
 def search_brute_force(
     q_desc,
     q_valid,

@@ -108,18 +108,27 @@ class Sim3Verification(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "fix_scale", "min_inliers"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "fix_scale", "min_inliers", "min_total"),
+)
 def verify_loop_sim3(
     cam: CameraModel,
     ms: M.MapState,
     cur_kf,
     cand_kf,
     key,
+    covis=None,  # [K,K] covisibility for the final neighborhood gate
     scale_factor: float = 2.0,
     fix_scale: bool = True,  # RGB-D: true scale known (Sim3Solver.h:37)
     min_inliers: int = 20,
+    min_total: int = 40,
 ) -> Sim3Verification:
-    """Brute-force match the two KFs' bound map points, then Horn RANSAC."""
+    """The full ComputeSim3 chain (LoopClosing.cc:224-368): brute-force
+    descriptor matching -> Horn RANSAC -> Sim3-guided mutual matching
+    (SearchBySim3) -> iterative Sim3 GN (OptimizeSim3, >=20 inliers) ->
+    project the candidate's covisible neighborhood and require >=40 total
+    matches."""
     # descriptors of the keypoints bound to map points
     d1 = ms.kf_desc[cur_kf]
     d2 = ms.kf_desc[cand_kf]
@@ -127,24 +136,84 @@ def verify_loop_sim3(
     v2 = ms.kf_kp_valid[cand_kf] & (ms.kf_mp[cand_kf] >= 0)
     res = matching.search_brute_force(d1, v1, d2, v2, th_desc=ham.TH_LOW, ratio=0.75)
     # res: cand-kp -> cur-kp assignment
-    pair_cand = jnp.arange(ms.N)
     pair_cur = res.kp_to_query
-    ok = pair_cur >= 0
-    # 3D positions of the matched map points in each camera frame
-    p_cur = ms.kf_mp[cur_kf][jnp.clip(pair_cur, 0, ms.N - 1)]
+    # per-keypoint bound map-point positions in each camera frame
     p_cand = ms.kf_mp[cand_kf]
-    X_cur_w = ms.pt_pos[jnp.clip(p_cur, 0, ms.P - 1)]
-    X_cand_w = ms.pt_pos[jnp.clip(p_cand, 0, ms.P - 1)]
-    X1 = lie.se3_apply(ms.kf_Tcw[cand_kf], X_cand_w)  # cand-camera frame
-    X2 = lie.se3_apply(ms.kf_Tcw[cur_kf], X_cur_w)  # cur-camera frame
-    ok = ok & (p_cand >= 0) & (p_cur >= 0)
-    oct1 = ms.kf_octave[cand_kf].astype(jnp.float32)
-    th2 = 9.21 * scale_factor ** (2.0 * oct1)
+    X_cand_all = lie.se3_apply(
+        ms.kf_Tcw[cand_kf], ms.pt_pos[jnp.clip(p_cand, 0, ms.P - 1)]
+    )
+    p_cur_kp = ms.kf_mp[cur_kf]
+    X_cur_all = lie.se3_apply(
+        ms.kf_Tcw[cur_kf], ms.pt_pos[jnp.clip(p_cur_kp, 0, ms.P - 1)]
+    )
+
+    def gather_pairs(pair):
+        p_cur = p_cur_kp[jnp.clip(pair, 0, ms.N - 1)]
+        ok = (pair >= 0) & (p_cand >= 0) & (p_cur >= 0)
+        X1 = X_cand_all  # cand-camera frame, indexed by cand kp
+        X2 = X_cur_all[jnp.clip(pair, 0, ms.N - 1)]  # cur-camera frame
+        return X1, X2, ok
+
+    X1, X2, ok = gather_pairs(pair_cur)
+    oct_cand = ms.kf_octave[cand_kf].astype(jnp.float32)
+    th2 = 9.21 * scale_factor ** (2.0 * oct_cand)
     r = sim3_solver.ransac_sim3(
         cam, X1, X2, ok, th2, th2, key, n_hypotheses=128, fix_scale=fix_scale
     )
-    S = lie.sim3_from_Rts(r.R, r.t, r.s)
-    return Sim3Verification(r.n_inliers >= min_inliers, S, r.n_inliers)
+    S_ransac = lie.sim3_from_Rts(r.R, r.t, r.s)
+    # S maps cand-camera -> cur-camera: RANSAC solved X2(cur) ~ s R X1(cand)+t
+    # guided mutual matching grows the set (SearchBySim3, ORBmatcher.cc:734)
+    ext = matching.search_by_sim3(
+        cam, S_ransac,
+        ms.kf_uv_und[cur_kf], d1, v1, ms.kf_octave[cur_kf], X_cur_all,
+        ms.kf_uv_und[cand_kf], d2, v2, ms.kf_octave[cand_kf], X_cand_all,
+        scale_factor=scale_factor,
+    )
+    pair_all = jnp.where(pair_cur >= 0, pair_cur, ext.kp_to_query)
+    X1, X2, ok = gather_pairs(pair_all)
+    # iterative GN refinement (OptimizeSim3, Optimizer.cc:958-1142)
+    inv_sigma2_cand = 1.0 / scale_factor ** (2.0 * oct_cand)
+    oct_cur = ms.kf_octave[cur_kf].astype(jnp.float32)
+    inv_sigma2_cur = (
+        1.0 / scale_factor ** (2.0 * oct_cur[jnp.clip(pair_all, 0, ms.N - 1)])
+    )
+    uv_cur = ms.kf_uv_und[cur_kf][jnp.clip(pair_all, 0, ms.N - 1)]
+    uv_cand = ms.kf_uv_und[cand_kf]
+    opt = sim3_solver.optimize_sim3(
+        cam, S_ransac, X2, X1, uv_cur, uv_cand,
+        inv_sigma2_cur, inv_sigma2_cand, ok,
+        th2=10.0, fix_scale=fix_scale,
+    )
+    S = opt.S
+    # final gate (LoopClosing.cc:329-367): project every point seen by the
+    # candidate and its covisible neighborhood through the corrected pose;
+    # accept only if the total match count clears min_total
+    if covis is not None:
+        neigh = (covis[cand_kf] > 0) | (jnp.arange(ms.K) == cand_kf)
+        obs = M.observation_table(ms)
+        in_hood = jnp.zeros((ms.P,), bool)
+        contrib = jnp.where((neigh & ms.kf_valid)[:, None], obs, -1)
+        in_hood = in_hood.at[
+            jnp.where(contrib >= 0, contrib, ms.P).ravel()
+        ].set(True, mode="drop")
+        T_corr = lie.sim3_to_se3(S @ lie.se3_to_sim3(ms.kf_Tcw[cand_kf]))
+        hood = matching.search_by_projection(
+            cam, T_corr, ms.pt_pos, ms.pt_desc, in_hood & ms.pt_valid,
+            jnp.zeros((ms.P,), jnp.int32),
+            ms.kf_uv_und[cur_kf], d1, ms.kf_kp_valid[cur_kf],
+            ms.kf_octave[cur_kf],
+            radius_px=10.0, th_desc=ham.TH_LOW, scale_factor=scale_factor,
+            octave_window=None,
+        )
+        total = hood.count()
+    else:
+        total = opt.n_inliers + min_total  # gate disabled
+    accepted = (
+        (r.n_inliers >= min_inliers)
+        & (opt.n_inliers >= min_inliers)
+        & (total >= min_total)
+    )
+    return Sim3Verification(accepted, S, opt.n_inliers)
 
 
 @functools.partial(jax.jit, static_argnames=("scale_factor",))
@@ -263,7 +332,7 @@ class LoopCloser:
         self._seed += 1
         ver = verify_loop_sim3(
             self.cam, ms, jnp.asarray(kf_slot), jnp.asarray(cand_slot),
-            jax.random.key(self._seed),
+            jax.random.key(self._seed), covis=covis,
             scale_factor=self.scale_factor, fix_scale=self.fix_scale,
         )
         info["sim3_inliers"] = int(ver.n_inliers)

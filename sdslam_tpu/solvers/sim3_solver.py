@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from sdslam_tpu.geometry import camera as cam_mod
+from sdslam_tpu.geometry import lie
 from sdslam_tpu.geometry.camera import CameraModel
 
 
@@ -107,3 +108,97 @@ def ransac_sim3(
     R, t, s = umeyama_sim3(X1, X2, ok, fix_scale=fix_scale)
     ok = _sym_reproj_inliers(cam, R, t, s, X1, X2, th2_1, th2_2, valid)
     return Sim3Result(R, t, s, ok, jnp.sum(ok))
+
+
+class Sim3OptResult(NamedTuple):
+    S: jnp.ndarray  # [4,4] refined sim3 (maps cam-2 coords into cam-1)
+    inliers: jnp.ndarray  # [N] bool
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "fix_scale", "iters1", "iters2")
+)
+def optimize_sim3(
+    cam: CameraModel,
+    S12,  # [4,4] initial sim3 (RANSAC output): X_in1 = S12 * X2
+    X1,  # [N,3] matched map points in cam-1 frame
+    X2,  # [N,3] matched map points in cam-2 frame
+    uv1,  # [N,2] observed keypoint pixels in image 1
+    uv2,  # [N,2] observed keypoint pixels in image 2
+    info1,  # [N] 1/sigma^2 of the image-1 observation (octave-scaled)
+    info2,  # [N] 1/sigma^2 of the image-2 observation
+    valid,  # [N] bool
+    th2: float = 10.0,
+    fix_scale: bool = False,
+    iters1: int = 5,
+    iters2: int = 10,
+) -> Sim3OptResult:
+    """Iterative Gauss-Newton refinement of a Sim3 with symmetric
+    reprojection edges (Optimizer::OptimizeSim3, Optimizer.cc:958-1142):
+    forward edges observe proj(S12 * X2) in image 1, inverse edges observe
+    proj(S12^-1 * X1) in image 2; Huber delta = sqrt(th2) (:997); two stages
+    with an edge-pair prune between them (chi2 > th2 in either direction
+    drops the pair, :1077-1100).
+
+    TPU shape: the g2o vertex/edge graph becomes a 7-parameter manifold GN
+    with all 2N residuals evaluated as one batch; the Jacobian [4N,7] comes
+    from forward-mode autodiff at the tangent-space origin."""
+    delta = jnp.sqrt(th2)
+
+    def residuals(xi, S):
+        Sx = lie.sim3_exp(xi) @ S
+        r_fwd = cam_mod.project(cam, lie.sim3_apply(Sx, X2))[0] - uv1
+        r_inv = cam_mod.project(cam, lie.sim3_apply(lie.sim3_inv(Sx), X1))[0] - uv2
+        return r_fwd, r_inv
+
+    def chi2_pair(S):
+        r_fwd, r_inv = residuals(jnp.zeros((7,)), S)
+        c_fwd = jnp.sum(r_fwd**2, -1) * info1
+        c_inv = jnp.sum(r_inv**2, -1) * info2
+        return c_fwd, c_inv
+
+    def gn_step(S, active):
+        def flat(xi):
+            r_fwd, r_inv = residuals(xi, S)
+            return jnp.concatenate([r_fwd.ravel(), r_inv.ravel()])
+
+        r = flat(jnp.zeros((7,)))
+        J = jax.jacfwd(flat)(jnp.zeros((7,)))
+        # per-edge robust weights: info * huber'(chi)/chi
+        c_fwd, c_inv = chi2_pair(S)
+        w_fwd = info1 * jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(c_fwd, 1e-12)))
+        w_inv = info2 * jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(c_inv, 1e-12)))
+        w = jnp.concatenate(
+            [
+                jnp.repeat(w_fwd * active, 2),
+                jnp.repeat(w_inv * active, 2),
+            ]
+        )
+        H = J.T @ (J * w[:, None])
+        b = J.T @ (r * w)
+        if fix_scale:
+            # zero out the scale direction (6-DoF mode, Optimizer.cc:770 analog)
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            b = b.at[6].set(0.0)
+        H = H + 1e-6 * jnp.eye(7)
+        dx = -jnp.linalg.solve(H, b)
+        return lie.sim3_exp(dx) @ S
+
+    active0 = valid.astype(jnp.float32)
+    S = jax.lax.fori_loop(
+        0, iters1, lambda _, S: gn_step(S, active0), S12
+    )
+    c_fwd, c_inv = chi2_pair(S)
+    keep = valid & (c_fwd < th2) & (c_inv < th2)
+    active1 = keep.astype(jnp.float32)
+    S = jax.lax.fori_loop(
+        0, iters2, lambda _, S: gn_step(S, active1), S
+    )
+    c_fwd, c_inv = chi2_pair(S)
+    inl = keep & (c_fwd < th2) & (c_inv < th2)
+    # renormalize the rotation block drift from repeated exp-compositions
+    Rb, tb, sb = lie.sim3_Rts(S)
+    U, _, Vt = jnp.linalg.svd(Rb)
+    S = lie.sim3_from_Rts(U @ Vt, tb, jnp.where(fix_scale, 1.0, sb))
+    return Sim3OptResult(S, inl, jnp.sum(inl))

@@ -131,3 +131,45 @@ def test_brute_force_self_match(rng):
     idx = np.arange(len(kp_to_q))
     # each valid descriptor matches itself
     assert (kp_to_q[v] == idx[v]).mean() > 0.95
+
+
+def test_search_by_sim3_mutual_recovery(rng):
+    """Sim3-guided mutual matching (SearchBySim3 analog): two cameras see
+    the same landmarks related by a known Sim3; the guided search must
+    recover the identity correspondence and stay empty for a wrong Sim3."""
+    N = 64
+    X2 = rng.uniform([-0.7, -0.5, 1.5], [0.7, 0.5, 3.0], size=(N, 3)).astype(
+        np.float32
+    )
+    phi = np.array([0.1, -0.15, 0.05], np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray(phi)))
+    s, t = 1.2, np.array([0.2, -0.1, 0.25], np.float32)
+    X1 = (s * X2 @ R.T + t).astype(np.float32)
+    S12 = lie.sim3_from_Rts(jnp.asarray(R), jnp.asarray(t), jnp.asarray(s))
+    uv1, z1 = cam_mod.project(CAM, jnp.asarray(X1))
+    uv2, z2 = cam_mod.project(CAM, jnp.asarray(X2))
+    in1 = np.asarray(cam_mod.in_image(CAM, uv1, 6.0)) & (np.asarray(z1) > 0)
+    in2 = np.asarray(cam_mod.in_image(CAM, uv2, 6.0)) & (np.asarray(z2) > 0)
+    desc = rand_desc(rng, N)  # same landmark -> same descriptor in both KFs
+    octv = jnp.zeros((N,), jnp.int32)
+    res = matching.search_by_sim3(
+        CAM, S12,
+        uv1, desc, jnp.asarray(in1), octv, jnp.asarray(X1),
+        uv2, desc, jnp.asarray(in2), octv, jnp.asarray(X2),
+    )
+    pair = np.asarray(res.kp_to_query)
+    both = in1 & in2
+    # every matched co-visible landmark matches to itself
+    matched = both & (pair >= 0)
+    np.testing.assert_array_equal(pair[matched], np.arange(N)[matched])
+    assert matched.sum() > 0.9 * both.sum()
+    # a badly wrong Sim3 yields (almost) no mutual agreements in-window
+    S_bad = lie.sim3_from_Rts(
+        jnp.eye(3), jnp.asarray(np.array([2.5, 2.5, 0.0], np.float32)), jnp.asarray(1.0)
+    )
+    res_bad = matching.search_by_sim3(
+        CAM, S_bad,
+        uv1, desc, jnp.asarray(in1), octv, jnp.asarray(X1),
+        uv2, desc, jnp.asarray(in2), octv, jnp.asarray(X2),
+    )
+    assert int(res_bad.count()) < int(res.count()) // 4

@@ -126,3 +126,73 @@ def test_pose_graph_closes_loop():
 
     assert gap(T_opt) < gap(T_est) * 0.2
     assert gap(T_opt) < 0.01
+
+
+def test_optimize_sim3_refines_to_gt(rng):
+    """GN refinement (OptimizeSim3 analog) recovers the exact Sim3 from a
+    perturbed RANSAC-style initialization, with symmetric projection edges
+    and 20% mismatched pairs pruned between stages."""
+    N = 150
+    # points in camera-2 frame, in view of a 320x240 camera
+    X2 = rng.uniform([-0.8, -0.6, 1.5], [0.8, 0.6, 3.5], size=(N, 3)).astype(
+        np.float32
+    )
+    phi = np.array([0.12, -0.2, 0.08], np.float32)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray(phi)))
+    s_gt, t_gt = 1.3, np.array([0.25, -0.15, 0.3], np.float32)
+    X1 = (s_gt * X2 @ R_gt.T + t_gt).astype(np.float32)  # cam-1 frame
+    S_gt = lie.sim3_from_Rts(jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.asarray(s_gt))
+    # observed pixels = exact projections (both cameras share intrinsics)
+    from sdslam_tpu.geometry import camera as cam_mod
+
+    uv1 = cam_mod.project(CAM, jnp.asarray(X1))[0]
+    uv2 = cam_mod.project(CAM, jnp.asarray(X2))[0]
+    # corrupt 20% of pairs: wrong correspondence (should be pruned)
+    n_bad = 30
+    X2_noisy = X2.copy()
+    X2_noisy[:n_bad] = X2[rng.permutation(N)[:n_bad]]
+    # perturbed init
+    xi = jnp.asarray(
+        np.concatenate([[0.03, -0.02, 0.04], [0.02, 0.03, -0.02], [0.05]]).astype(
+            np.float32
+        )
+    )
+    S0 = lie.sim3_exp(xi) @ S_gt
+    info = jnp.ones((N,), jnp.float32)
+    res = sim3_solver.optimize_sim3(
+        CAM, S0, jnp.asarray(X1), jnp.asarray(X2_noisy), uv1, uv2,
+        info, info, jnp.ones((N,), bool), th2=10.0,
+    )
+    R, t, s = lie.sim3_Rts(res.S)
+    np.testing.assert_allclose(np.asarray(R), R_gt, atol=2e-3)
+    np.testing.assert_allclose(float(s), s_gt, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=5e-3)
+    assert int(res.n_inliers) >= N - n_bad - 5
+    # mismatched pairs are flagged as outliers
+    assert np.asarray(res.inliers)[:n_bad].mean() < 0.3
+
+
+def test_optimize_sim3_fix_scale(rng):
+    N = 100
+    X2 = rng.uniform([-0.8, -0.6, 1.5], [0.8, 0.6, 3.5], size=(N, 3)).astype(
+        np.float32
+    )
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray(np.array([0.05, 0.1, -0.03], np.float32))))
+    t_gt = np.array([0.1, 0.05, -0.1], np.float32)
+    X1 = (X2 @ R_gt.T + t_gt).astype(np.float32)
+    from sdslam_tpu.geometry import camera as cam_mod
+
+    uv1 = cam_mod.project(CAM, jnp.asarray(X1))[0]
+    uv2 = cam_mod.project(CAM, jnp.asarray(X2))[0]
+    S_gt = lie.sim3_from_Rts(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.asarray(1.0)
+    )
+    xi = jnp.asarray(np.array([0.02, 0.0, -0.03, 0.01, -0.02, 0.02, 0.0], np.float32))
+    info = jnp.ones((N,), jnp.float32)
+    res = sim3_solver.optimize_sim3(
+        CAM, lie.sim3_exp(xi) @ S_gt, jnp.asarray(X1), jnp.asarray(X2),
+        uv1, uv2, info, info, jnp.ones((N,), bool), th2=10.0, fix_scale=True,
+    )
+    _, t, s = lie.sim3_Rts(res.S)
+    assert abs(float(s) - 1.0) < 1e-5  # scale frozen in 6-DoF mode
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=5e-3)
