@@ -40,6 +40,7 @@ def _fuse_into_kf(
     kf_slot,
     q_pt_ids,  # [Q] point ids to project into this KF (-1 padded)
     scale_factor: float,
+    obs_cnt=None,  # [P] observation counts (computed if None)
     radius: float = 3.0,
     th_desc: int = ham.TH_LOW,
 ):
@@ -82,7 +83,8 @@ def _fuse_into_kf(
         res.kp_to_query >= 0, q_pt_ids[jnp.clip(res.kp_to_query, 0, q_pt_ids.shape[0] - 1)], -1
     )  # [N] point id matched to each keypoint
 
-    obs_cnt = M.point_obs_count(ms)
+    if obs_cnt is None:
+        obs_cnt = M.point_obs_count(ms)
     free = (row < 0) & (matched_pt >= 0)
     new_row = jnp.where(free, matched_pt, row)
 
@@ -109,7 +111,13 @@ def fuse_neighbors(
     covis=None,
 ) -> M.MapState:
     """SearchInNeighbors: two-way observation fusion between a keyframe and
-    its top covisible neighbors."""
+    its top covisible neighbors.
+
+    TPU shape: direction A is one projection search; direction B's
+    per-neighbor searches are VMAPPED into a single batched search (they
+    read the same pre-fuse map, so they are independent; the sequential
+    variant spent 3x the kernel time for a rarely-different result). The
+    per-neighbor merge bookkeeping stays sequential (cheap scatters)."""
     cov = M.covisibility(ms) if covis is None else covis
     w = cov[kf_slot].at[kf_slot].set(-1)
     _, neigh = jax.lax.top_k(w, n_neighbors)  # [C] best neighbor slots
@@ -118,20 +126,43 @@ def fuse_neighbors(
     # direction A: neighbors' points -> this KF
     neigh_pts = ms.kf_mp[neigh].reshape(-1)  # [C*N]
     neigh_pts = jnp.where(jnp.repeat(neigh_ok, ms.N), neigh_pts, -1)
+    obs_cnt = M.point_obs_count(ms)
     # dedupe against this KF happens inside _fuse_into_kf
-    new_row, rep = _fuse_into_kf(cam, ms, kf_slot, neigh_pts, scale_factor)
+    new_row, rep_a = _fuse_into_kf(
+        cam, ms, kf_slot, neigh_pts, scale_factor, obs_cnt=obs_cnt
+    )
     ms = ms._replace(kf_mp=ms.kf_mp.at[kf_slot].set(new_row))
-    ms = M.replace_points(ms, rep)
 
-    # direction B: this KF's points -> each neighbor
-    own_pts = ms.kf_mp[kf_slot]
+    # direction B: this KF's points -> each neighbor, one batched search
+    # (all three search the same post-A map: independent by construction).
+    # Points direction A just merged away are redirected to their winners.
+    own_raw = new_row
+    own_win = rep_a[jnp.clip(own_raw, 0, ms.P - 1)]
+    own_pts = jnp.where((own_raw >= 0) & (own_win >= 0), own_win, own_raw)
+    rows_b, reps_b = jax.vmap(
+        lambda s: _fuse_into_kf(
+            cam, ms, s, own_pts, scale_factor, obs_cnt=obs_cnt
+        )
+    )(neigh)
     for i in range(n_neighbors):
         slot_i = neigh[i]
-        row_i, rep_i = _fuse_into_kf(cam, ms, slot_i, own_pts, scale_factor)
-        row_i = jnp.where(neigh_ok[i], row_i, ms.kf_mp[slot_i])
-        rep_i = jnp.where(neigh_ok[i], rep_i, -1)
+        row_i = jnp.where(neigh_ok[i], rows_b[i], ms.kf_mp[slot_i])
         ms = ms._replace(kf_mp=ms.kf_mp.at[slot_i].set(row_i))
-        ms = M.replace_points(ms, rep_i)
+    # compose all replace maps and apply ONCE (replace_points touches the
+    # whole [K,N] table; 4 sequential applications dominated this pass).
+    # With f'(p) = f(p) if f(p) >= 0 else p: total = bC' o ... o b1' o a'
+    def compose(acc, rep_i):
+        cur = jnp.where(acc >= 0, acc, jnp.arange(ms.P))
+        nxt = rep_i[cur]
+        return jnp.where(nxt >= 0, nxt, acc)
+
+    total = rep_a
+    for i in range(n_neighbors):
+        rep_i = jnp.where(neigh_ok[i], reps_b[i], -1)
+        total = compose(total, rep_i)
+    # guard a->b->a tie cycles across maps: a self-replacement means "keep"
+    total = jnp.where(total == jnp.arange(ms.P), -1, total)
+    ms = M.replace_points(ms, total)
     return ms
 
 
@@ -156,48 +187,63 @@ def cull_points(
     return M.remove_points(ms, ms.pt_valid & young & bad)
 
 
-@functools.partial(jax.jit, static_argnames=("max_obs",))
+@functools.partial(jax.jit, static_argnames=("max_obs", "max_rows"))
 def cull_keyframes(
     ms: M.MapState,
     protect_slot,
     redundancy: float = 0.9,
     max_obs: int = 16,
+    obs_lists=None,  # optional precomputed (obs_kf, obs_kp) [P,M]
+    rows_mask=None,  # [K] bool: candidate rows (default: all valid)
+    max_rows: int = 16,
 ) -> M.MapState:
     """KeyFrameCulling: mark a KF redundant when >= 90% of its observed
     points are seen by >= 3 other KFs at the same or finer octave
     (LocalMapping.cc:580-634). At most one KF is culled per call (the most
-    redundant), keeping the spanning structure stable."""
-    obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
-    has = obs_kf >= 0
+    redundant), keeping the spanning structure stable.
+
+    Like the reference (which only examines the current KF's covisible
+    locals, LocalMapping.cc:582), candidacy can be restricted to
+    `rows_mask`, compacted to `max_rows` rows — the [K,N,M] redundancy
+    gather over the whole pool was ~40% of this pass."""
+    if obs_lists is None:
+        obs_kf, obs_kp = M.build_obs_lists(ms, max_obs)
+    else:
+        obs_kf, obs_kp = obs_lists
+    if rows_mask is None:
+        rows_mask = ms.kf_valid
+    # compact candidate rows (top covisible window)
+    R = min(max_rows, ms.K)
+    row_idx, row_in, _ = M.compact_indices(rows_mask & ms.kf_valid, R)
     kf_safe = jnp.clip(obs_kf, 0, ms.K - 1)
     kp_safe = jnp.clip(obs_kp, 0, ms.N - 1)
     oct_obs = ms.kf_octave[kf_safe, kp_safe]  # [P,M]
 
-    # for each KF k: over its bound keypoints, how many of its points have
-    # >= 3 other observations at octave <= own octave + 1
-    own_oct = ms.kf_octave  # [K,N]
-    pt = jnp.clip(ms.kf_mp, 0, ms.P - 1)  # [K,N]
-    pt_has = (ms.kf_mp >= 0) & ms.kf_kp_valid & ms.kf_valid[:, None]
-    # count per (K,N): observations of pt[k,n] in other KFs at fine octave
-    # obs table per point: [P,M]; gather per (k,n)
-    obs_oct_pn = oct_obs[pt]  # [K,N,M]
-    obs_kf_pn = obs_kf[pt]  # [K,N,M]
+    # for each candidate row r: over its bound keypoints, how many of its
+    # points have >= 3 other observations at octave <= own octave + 1
+    own_oct = ms.kf_octave[row_idx]  # [R,N]
+    mp_r = ms.kf_mp[row_idx]  # [R,N]
+    pt = jnp.clip(mp_r, 0, ms.P - 1)
+    pt_has = (mp_r >= 0) & ms.kf_kp_valid[row_idx] & row_in[:, None]
+    obs_oct_pn = oct_obs[pt]  # [R,N,M]
+    obs_kf_pn = obs_kf[pt]  # [R,N,M]
     fine = (
         (obs_kf_pn >= 0)
-        & (obs_kf_pn != jnp.arange(ms.K)[:, None, None])
+        & (obs_kf_pn != row_idx[:, None, None])
         & (obs_oct_pn <= own_oct[:, :, None] + 1)
     )
-    n_fine = jnp.sum(fine, axis=-1)  # [K,N]
+    n_fine = jnp.sum(fine, axis=-1)  # [R,N]
     redundant_obs = pt_has & (n_fine >= 3)
     n_obs_kf = jnp.sum(pt_has, axis=1)
     ratio = jnp.sum(redundant_obs, axis=1) / jnp.maximum(n_obs_kf, 1)
-    candidate = ms.kf_valid & (ratio > redundancy) & (n_obs_kf > 0)
-    candidate &= jnp.arange(ms.K) != protect_slot
+    candidate = row_in & (ratio > redundancy) & (n_obs_kf > 0)
+    candidate &= row_idx != protect_slot
     # never cull the oldest (gauge anchor)
     oldest = jnp.argmin(jnp.where(ms.kf_valid, ms.kf_frame_id, jnp.iinfo(jnp.int32).max))
-    candidate &= jnp.arange(ms.K) != oldest
+    candidate &= row_idx != oldest
     best = jnp.argmax(jnp.where(candidate, ratio, -1.0))
-    kill = jnp.zeros((ms.K,), bool).at[best].set(jnp.any(candidate))
+    kill_slot = jnp.where(jnp.any(candidate), row_idx[best], ms.K)
+    kill = jnp.zeros((ms.K,), bool).at[kill_slot].set(True, mode="drop")
     return M.remove_keyframes(ms, kill)
 
 

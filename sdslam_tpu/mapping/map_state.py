@@ -205,38 +205,41 @@ def obs_lists_from_table(obs, P: int, max_obs: int = 16):
     keyframes, possibly a compacted subset). Returns (obs_row [P,M],
     obs_kp [P,M]) int32, -1 padded.
 
-    A rank-scatter loop over the R rows replaces a [R*N] sort: each step
-    reads the running per-point count (= rank of this row's observation) and
-    scatter-writes (row, kp) at that rank. TPU sorts are bitonic and cost
-    ~10 ms at 64k elements; R sequential 1k-element scatters are ~10x
-    cheaper. Within-row duplicate bindings of one point (possible after
-    fuse) drop all but one edge, which is benign for every consumer.
+    Fully parallel rank-scatter: the rank of observation (row r, point p) is
+    the exclusive row-cumsum of a [R, P] incidence-count matrix — one
+    scatter-add + one small cumsum + one scatter, no sequential loop and no
+    [R*N] sort (TPU sorts are bitonic, ~10 ms at 64k elements; the previous
+    R-step fori_loop serialized ~R scatter rounds). Within-row duplicate
+    bindings of one point (possible after fuse) keep only the first keypoint
+    — benign for every consumer (they are edges of the same point).
     """
     R, N = obs.shape
     M = max_obs
-    kp_ar = jnp.arange(N, dtype=jnp.int32)
-
-    def body(r, carry):
-        cnt, orow, okp = carry
-        p = obs[r]  # [N]
-        ok = p >= 0
-        ps = jnp.clip(p, 0, P - 1)
-        rank = cnt[ps]  # [N] current obs count of each point
-        fits = ok & (rank < M)
-        # scatter (point, rank) <- (row r, kp); invalid -> OOB row P (dropped)
-        tgt_p = jnp.where(fits, ps, P)
-        orow = orow.at[tgt_p, rank].set(r, mode="drop")
-        okp = okp.at[tgt_p, rank].set(kp_ar, mode="drop")
-        cnt = cnt.at[jnp.where(ok, ps, P)].add(1, mode="drop")
-        return cnt, orow, okp
-
-    cnt0 = jnp.zeros((P,), jnp.int32)
-    init = (
-        cnt0,
-        jnp.full((P, M), -1, jnp.int32),
-        jnp.full((P, M), -1, jnp.int32),
+    ok = obs >= 0
+    ps = jnp.clip(obs, 0, P - 1)
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, N))
+    kps = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (R, N))
+    # first keypoint of each (row, point) pair: scatter-min of kp index
+    first_kp = jnp.full((R, P), N, jnp.int32).at[
+        rows.ravel(), jnp.where(ok, ps, 0).ravel()
+    ].min(jnp.where(ok, kps, N).ravel(), mode="drop")
+    keep = ok & (first_kp[rows, ps] == kps)
+    # per-(row, point) incidence (post-dedupe it is 0/1)
+    inc = jnp.zeros((R, P), jnp.int32).at[
+        jnp.where(keep, rows, R).ravel(), ps.ravel()
+    ].add(1, mode="drop")
+    # rank of row r's observation of p = #observations of p in rows < r
+    rank_rp = jnp.cumsum(inc, axis=0) - inc  # exclusive cumsum over rows
+    rank = rank_rp[rows, ps]  # [R,N]
+    fits = keep & (rank < M)
+    tgt_p = jnp.where(fits, ps, P)
+    rk = jnp.clip(rank, 0, M - 1)
+    obs_row = jnp.full((P, M), -1, jnp.int32).at[tgt_p.ravel(), rk.ravel()].set(
+        rows.ravel(), mode="drop"
     )
-    _, obs_row, obs_kp = jax.lax.fori_loop(0, R, body, init)
+    obs_kp = jnp.full((P, M), -1, jnp.int32).at[tgt_p.ravel(), rk.ravel()].set(
+        kps.ravel(), mode="drop"
+    )
     return obs_row, obs_kp
 
 
@@ -288,6 +291,7 @@ def finalize_point_statistics_local(
     n_levels: int,
     max_pts: int = 2048,
     max_obs: int = 16,
+    obs_lists=None,  # optional precomputed (obs_kf, obs_kp) [P,M]
 ) -> MapState:
     """finalize_point_statistics restricted to the points observed by the
     keyframe rows in `rows_mask` [K] — the only points whose observations or
@@ -295,7 +299,12 @@ def finalize_point_statistics_local(
     descriptor/normal recompute runs on a [max_pts] compacted subset instead
     of the whole pool (the reference likewise updates only modified points,
     MapPoint.cc:225-343). Overflowing points keep their previous (valid,
-    slightly stale) statistics."""
+    slightly stale) statistics.
+
+    With `obs_lists` (shared full-pool per-point lists), the per-subset
+    lists are just a row gather — building them per consumer was ~3 ms per
+    KF pass. Entries whose KF has since been culled are masked inside
+    _point_stats_core (kf_valid check)."""
     P = ms.P
     obs = observation_table(ms)  # [K,N]
     sel = rows_mask[:, None] & (obs >= 0)
@@ -306,10 +315,13 @@ def finalize_point_statistics_local(
     touched &= ms.pt_valid
     PL = min(max_pts, P)
     pt_idx, pt_in, pt_remap = compact_indices(touched, PL)
-    # full table remapped to compact ids: a touched point's observations from
-    # rows OUTSIDE rows_mask still count toward its statistics
-    obs_c = jnp.where(obs >= 0, pt_remap[jnp.clip(obs, 0, P - 1)], -1)
-    obs_row, obs_kp = obs_lists_from_table(obs_c, PL, max_obs)
+    if obs_lists is None:
+        # full table remapped to compact ids: a touched point's observations
+        # from rows OUTSIDE rows_mask still count toward its statistics
+        obs_c = jnp.where(obs >= 0, pt_remap[jnp.clip(obs, 0, P - 1)], -1)
+        obs_row, obs_kp = obs_lists_from_table(obs_c, PL, max_obs)
+    else:
+        obs_row, obs_kp = (a[pt_idx] for a in obs_lists)
     rep_desc, normal, ref_dist, ref_oct, cnt = _point_stats_core(
         ms, obs_row, obs_kp, ms.pt_pos[pt_idx], max_obs
     )
@@ -332,9 +344,10 @@ def _point_stats_core(ms: MapState, obs_kf, obs_kp, pt_pos, max_obs: int = 16):
     obs_kf/obs_kp: [Q, M] (-1 padded, rows = original KF indices);
     pt_pos: [Q, 3]. Returns (rep_desc, normal, ref_dist, ref_oct, cnt)."""
     M = max_obs
-    has = obs_kf >= 0  # [P,M]
     kf_safe = jnp.clip(obs_kf, 0, ms.K - 1)
     kp_safe = jnp.clip(obs_kp, 0, ms.N - 1)
+    # mask entries whose KF has been culled since the lists were built
+    has = (obs_kf >= 0) & ms.kf_valid[kf_safe]  # [P,M]
 
     # gather observation descriptors [P,M,8]
     descs = ms.kf_desc[kf_safe, kp_safe]

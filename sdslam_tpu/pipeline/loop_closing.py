@@ -5,9 +5,9 @@ Replaces the LoopClosing thread (/root/reference/src/LoopClosing.{h,cc}):
   detect:   direct photometric alignment of the current keyframe against
             every non-connected keyframe (DetectLoop, LoopClosing.cc:100-222
             — no bag-of-words, the "SD" signature); candidates keep error
-            < 1.5x best and below an absolute bound; temporal consistency
-            over consecutive keyframes replaces covisibility-group
-            consistency (th=3).
+            < 1.5x best and below an absolute bound; covisibility-group
+            consistency over consecutive keyframes (th=3,
+            LoopClosing.cc:146-218) gates Sim3 verification.
   verify:   brute-force descriptor matching between the two keyframes'
             map points (SearchByPoints), Horn Sim3 RANSAC, acceptance by
             inlier count (ComputeSim3, LoopClosing.cc:224-368).
@@ -288,17 +288,24 @@ def correct_loop_poses(
 @dataclasses.dataclass
 class LoopCloser:
     """Host-side loop-closing orchestration (consistency across KFs +
-    correction sequencing + optional global BA)."""
+    correction sequencing + optional global BA).
+
+    Consistency follows the reference's covisibility-group scheme
+    (LoopClosing.cc:146-218): each candidate expands into its covisible
+    group; a candidate is consistent with a previously-seen group when the
+    groups share a keyframe, and must stay consistent for
+    `consistency_th` (=3, LoopClosing.cc:49) consecutive detections before
+    Sim3 verification runs."""
 
     cam: CameraModel
     scale_factor: float = 2.0
     n_levels: int = 5
-    consistency_th: int = 2  # consecutive detections required
+    consistency_th: int = 3  # mnCovisibilityConsistencyTh (LoopClosing.cc:49)
     fix_scale: bool = True
     run_gba: bool = True
     min_frame_gap: int = 30
-    _consistent_count: int = 0
-    _last_candidate: int = -1
+    # previous consistent groups: list of (frozenset of KF slots, count)
+    _consistent_groups: list = dataclasses.field(default_factory=list)
     _seed: int = 0
 
     def process_keyframe(self, ms: M.MapState, kf_slot: int):
@@ -313,30 +320,56 @@ class LoopCloser:
         )
         info = {"detected": bool(cand.found), "candidate": int(cand.cand_kf)}
         if not bool(cand.found):
-            self._consistent_count = 0
-            self._last_candidate = -1
+            # no candidates: clear history (LoopClosing.cc:216 analogue)
+            self._consistent_groups = []
             return ms, info
-        cand_slot = int(cand.cand_kf)
-        # temporal consistency (stands in for covisibility-group consistency,
-        # LoopClosing.cc:146-218 th=3)
-        near_prev = (
-            self._last_candidate >= 0
-            and abs(cand_slot - self._last_candidate) <= 2
+
+        # all candidates within 1.5x of the best error (LoopClosing.cc:146)
+        errors = np.asarray(cand.errors)
+        best_err = float(errors[int(cand.cand_kf)])
+        cand_slots = np.flatnonzero(
+            (errors <= 1.5 * best_err) & (errors < LOOP_ALIGN_MAX_ERROR)
         )
-        self._consistent_count = self._consistent_count + 1 if near_prev else 1
-        self._last_candidate = cand_slot
-        if self._consistent_count < self.consistency_th:
+        covis_np = np.asarray(covis)
+
+        # covisibility-group consistency (LoopClosing.cc:152-218)
+        new_groups: list = []
+        enough: list = []
+        group_used = [False] * len(self._consistent_groups)
+        for slot in cand_slots:
+            group = frozenset(
+                np.flatnonzero(covis_np[slot] > 0).tolist() + [int(slot)]
+            )
+            consistent_count = 0
+            for gi, (prev_group, prev_count) in enumerate(
+                self._consistent_groups
+            ):
+                if group & prev_group:
+                    consistent_count = max(consistent_count, prev_count + 1)
+                    group_used[gi] = True
+            new_groups.append((group, consistent_count))
+            if consistent_count + 1 >= self.consistency_th:
+                enough.append(int(slot))
+        self._consistent_groups = new_groups
+        info["n_candidates"] = len(cand_slots)
+        if not enough:
             info["pending"] = True
             return ms, info
 
-        self._seed += 1
-        ver = verify_loop_sim3(
-            self.cam, ms, jnp.asarray(kf_slot), jnp.asarray(cand_slot),
-            jax.random.key(self._seed), covis=covis,
-            scale_factor=self.scale_factor, fix_scale=self.fix_scale,
-        )
-        info["sim3_inliers"] = int(ver.n_inliers)
-        if not bool(ver.accepted):
+        # verify consistent candidates best-error-first until one accepts
+        enough.sort(key=lambda s: errors[s])
+        for cand_slot in enough:
+            self._seed += 1
+            ver = verify_loop_sim3(
+                self.cam, ms, jnp.asarray(kf_slot), jnp.asarray(cand_slot),
+                jax.random.key(self._seed), covis=covis,
+                scale_factor=self.scale_factor, fix_scale=self.fix_scale,
+            )
+            info["sim3_inliers"] = int(ver.n_inliers)
+            info["candidate"] = int(cand_slot)
+            if bool(ver.accepted):
+                break
+        else:
             return ms, info
 
         ms = correct_loop_poses(
@@ -351,6 +384,5 @@ class LoopCloser:
         if self.run_gba:
             ms = ba.global_ba(self.cam, ms, scale_factor=self.scale_factor)
         info["corrected"] = True
-        self._consistent_count = 0
-        self._last_candidate = -1
+        self._consistent_groups = []
         return ms, info

@@ -363,13 +363,19 @@ def _kf_core(
     )
     ms = M.update_tracking_counters(ms, cam, ms.kf_Tcw[slot], ms.kf_mp[slot])
     ms = LM.cull_points(ms)
-    ms = LM.cull_keyframes(ms, slot)
+    # ONE per-point observation-list build shared by KF culling and the
+    # statistics pass (each build costs ~3 ms; stats masks any KF that
+    # culling removes after the lists were built)
+    obs_lists = M.build_obs_lists(ms, 16)
+    rows = (covis[slot] > 0) | (jnp.arange(ms.K) == slot)
+    ms = LM.cull_keyframes(ms, slot, obs_lists=obs_lists, rows_mask=rows)
     # ONE statistics pass for the whole mapping step, restricted to points
     # observed by the keyframe rows this pass touched (the new KF + its
     # covisible window — the only rows whose bindings/positions changed).
     # The O(P*M^2) recompute previously ran 3x over the full pool.
-    rows = (covis[slot] > 0) | (jnp.arange(ms.K) == slot)
-    ms = M.finalize_point_statistics_local(ms, rows, scale_factor, n_levels)
+    ms = M.finalize_point_statistics_local(
+        ms, rows, scale_factor, n_levels, obs_lists=obs_lists
+    )
     return ms, slot, ms.kf_mp[slot], ms.kf_Tcw[slot]
 
 
