@@ -172,11 +172,12 @@ def cull_points(
     min_found_ratio: float = 0.25,
     min_obs_after: int = 2,
     age_window: int = 2,
+    obs_cnt=None,  # [P] observation counts (computed if None)
 ) -> M.MapState:
     """MapPointCulling: a recent point dies if its tracking found-ratio is
     below 0.25, or if it is older than `age_window` keyframes and still has
     fewer than min_obs_after observations (LocalMapping.cc:161-188)."""
-    obs = M.point_obs_count(ms)
+    obs = M.point_obs_count(ms) if obs_cnt is None else obs_cnt
     age = ms.next_kf_id - ms.pt_first_kf  # in keyframes
     found_ratio = ms.pt_found.astype(jnp.float32) / jnp.maximum(
         ms.pt_visible.astype(jnp.float32), 1.0
@@ -218,6 +219,11 @@ def cull_keyframes(
     kf_safe = jnp.clip(obs_kf, 0, ms.K - 1)
     kp_safe = jnp.clip(obs_kp, 0, ms.N - 1)
     oct_obs = ms.kf_octave[kf_safe, kp_safe]  # [P,M]
+    # pack (kf, octave) so the [R,N,M] expansion is ONE gather (each
+    # arbitrary-index gather costs ~10 ns/element on TPU)
+    pack_pm = jnp.where(
+        obs_kf >= 0, (obs_kf + 1) * 16 + jnp.clip(oct_obs, 0, 15), 0
+    )
 
     # for each candidate row r: over its bound keypoints, how many of its
     # points have >= 3 other observations at octave <= own octave + 1
@@ -225,8 +231,9 @@ def cull_keyframes(
     mp_r = ms.kf_mp[row_idx]  # [R,N]
     pt = jnp.clip(mp_r, 0, ms.P - 1)
     pt_has = (mp_r >= 0) & ms.kf_kp_valid[row_idx] & row_in[:, None]
-    obs_oct_pn = oct_obs[pt]  # [R,N,M]
-    obs_kf_pn = obs_kf[pt]  # [R,N,M]
+    pk = pack_pm[pt]  # [R,N,M] single gather
+    obs_kf_pn = pk // 16 - 1
+    obs_oct_pn = pk % 16
     fine = (
         (obs_kf_pn >= 0)
         & (obs_kf_pn != row_idx[:, None, None])

@@ -219,27 +219,32 @@ def obs_lists_from_table(obs, P: int, max_obs: int = 16):
     ps = jnp.clip(obs, 0, P - 1)
     rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, N))
     kps = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (R, N))
-    # first keypoint of each (row, point) pair: scatter-min of kp index
+    # first keypoint of each (row, point) pair: scatter-min of kp index.
+    # This ONE scatter also yields the incidence (first_kp < N) — arbitrary-
+    # index scatters/gathers cost ~10 ns/element on TPU, so every table op
+    # here is packed to run once.
     first_kp = jnp.full((R, P), N, jnp.int32).at[
         rows.ravel(), jnp.where(ok, ps, 0).ravel()
     ].min(jnp.where(ok, kps, N).ravel(), mode="drop")
-    keep = ok & (first_kp[rows, ps] == kps)
-    # per-(row, point) incidence (post-dedupe it is 0/1)
-    inc = jnp.zeros((R, P), jnp.int32).at[
-        jnp.where(keep, rows, R).ravel(), ps.ravel()
-    ].add(1, mode="drop")
-    # rank of row r's observation of p = #observations of p in rows < r
+    inc = (first_kp < N).astype(jnp.int32)  # 0/1 post-dedupe
+    # rank of row r's observation of p = #observations of p in rows < r;
+    # pack (rank, first_kp) so the table is gathered ONCE
     rank_rp = jnp.cumsum(inc, axis=0) - inc  # exclusive cumsum over rows
-    rank = rank_rp[rows, ps]  # [R,N]
+    packed_tab = rank_rp * (N + 1) + first_kp
+    packed = packed_tab[rows, ps]  # [R,N] single gather
+    rank = packed // (N + 1)
+    keep = ok & (packed % (N + 1) == kps)
     fits = keep & (rank < M)
     tgt_p = jnp.where(fits, ps, P)
     rk = jnp.clip(rank, 0, M - 1)
-    obs_row = jnp.full((P, M), -1, jnp.int32).at[tgt_p.ravel(), rk.ravel()].set(
-        rows.ravel(), mode="drop"
-    )
-    obs_kp = jnp.full((P, M), -1, jnp.int32).at[tgt_p.ravel(), rk.ravel()].set(
-        kps.ravel(), mode="drop"
-    )
+    # pack (row, kp) into one value -> ONE output scatter, decode after
+    val = rows * N + kps
+    packed_out = jnp.full((P, M), -1, jnp.int32).at[
+        tgt_p.ravel(), rk.ravel()
+    ].set(val.ravel(), mode="drop")
+    has = packed_out >= 0
+    obs_row = jnp.where(has, packed_out // N, -1)
+    obs_kp = jnp.where(has, packed_out % N, -1)
     return obs_row, obs_kp
 
 

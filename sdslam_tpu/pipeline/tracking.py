@@ -362,13 +362,27 @@ def _kf_core(
         covis=covis, update_stats=False,
     )
     ms = M.update_tracking_counters(ms, cam, ms.kf_Tcw[slot], ms.kf_mp[slot])
-    ms = LM.cull_points(ms)
-    # ONE per-point observation-list build shared by KF culling and the
-    # statistics pass (each build costs ~3 ms; stats masks any KF that
-    # culling removes after the lists were built)
+    # ONE per-point observation-list build shared by point culling (count
+    # thresholds <= the M cap), KF culling, and the statistics pass (each
+    # build or count scatter costs ~0.5-3 ms; stale entries are masked by
+    # the consumers' kf_mp/kf_valid checks)
     obs_lists = M.build_obs_lists(ms, 16)
+    obs_cnt = jnp.sum(obs_lists[0] >= 0, axis=1)
+    ms = LM.cull_points(ms, obs_cnt=obs_cnt)
     rows = (covis[slot] > 0) | (jnp.arange(ms.K) == slot)
-    ms = LM.cull_keyframes(ms, slot, obs_lists=obs_lists, rows_mask=rows)
+    # redundancy culling exists to bound map growth; with fixed-capacity
+    # pools it only has an effect worth its ~3 ms cost once the pool is
+    # filling up — below half occupancy the branch is skipped (lax.cond
+    # executes one side). The reference culls every pass because its map
+    # grows without bound (LocalMapping.cc:580).
+    ms = jax.lax.cond(
+        jnp.sum(ms.kf_valid) > ms.K // 2,
+        lambda m: LM.cull_keyframes(
+            m, slot, obs_lists=obs_lists, rows_mask=rows
+        ),
+        lambda m: m,
+        ms,
+    )
     # ONE statistics pass for the whole mapping step, restricted to points
     # observed by the keyframe rows this pass touched (the new KF + its
     # covisible window — the only rows whose bindings/positions changed).

@@ -327,12 +327,16 @@ def _gn_iteration(
         W_pm = jnp.stack(w_cols, axis=0).reshape(18, P, Mo)
         G = jnp.stack(g_cols, axis=1)  # [E,27]
         HG = hp("ek,ec->kc", Uflat, G)  # [K,27]
-    tri = [(i, j) for i in range(6) for j in range(i, 6)]
-    Hcc = jnp.zeros((K, 6, 6), f32)
-    for idx, (i, j) in enumerate(tri):
-        Hcc = Hcc.at[:, i, j].set(HG[:, idx])
-        if i != j:
-            Hcc = Hcc.at[:, j, i].set(HG[:, idx])
+    # symmetric 6x6 from 21 packed columns via ONE gather (a scatter loop
+    # here cost ~40 unfused kernels per LM iteration)
+    tri_index = {}
+    for idx, (i, j) in enumerate((i, j) for i in range(6) for j in range(i, 6)):
+        tri_index[(i, j)] = idx
+        tri_index[(j, i)] = idx
+    gather_map = jnp.asarray(
+        [[tri_index[(i, j)] for j in range(6)] for i in range(6)], jnp.int32
+    )  # [6,6]
+    Hcc = HG[:, gather_map.reshape(-1)].reshape(K, 6, 6)
     bc = HG[:, 21:]  # [K,6]
 
     # damped point blocks: closed-form Cholesky + inverse (elementwise [P])
@@ -369,29 +373,39 @@ def _gn_iteration(
     )
     V = V.reshape(P, K, 6, 3)
 
-    # Z = V Linv^T  (so  V Hpp^-1 V^T = Z Z^T): per-point right-multiply
-    LinvT = jnp.zeros((P, 3, 3), f32)
-    LinvT = LinvT.at[:, 0, 0].set(i00).at[:, 0, 1].set(i10).at[:, 0, 2].set(i20)
-    LinvT = LinvT.at[:, 1, 1].set(i11).at[:, 1, 2].set(i21)
-    LinvT = LinvT.at[:, 2, 2].set(i22)
-    Z = hp("pkic,pcd->pkid", V, LinvT)  # [P,K,6,3]
+    # Z = V Linv^T (so V Hpp^-1 V^T = Z Z^T): LinvT is upper-triangular, so
+    # the per-point right-multiply is 6 fused multiply-adds on [P,K,6]
+    # slices — a dot_general here forced ~0.2 ms of layout copies per iter
+    b1 = lambda a: a[:, None, None]  # [P] -> [P,1,1]
+    V0, V1, V2 = V[..., 0], V[..., 1], V[..., 2]
+    Z = jnp.stack(
+        [
+            V0 * b1(i00),
+            V0 * b1(i10) + V1 * b1(i11),
+            V0 * b1(i20) + V1 * b1(i21) + V2 * b1(i22),
+        ],
+        axis=-1,
+    )  # [P,K,6,3]
     Zt = Z.transpose(1, 2, 0, 3).reshape(K * 6, P * 3)
     S_dense = -(Zt @ Zt.T)  # ONE MXU matmul, [6K, 3P] x [3P, 6K]
     S_dense = S_dense.reshape(K, 6, K, 6)
     KI = jnp.arange(K)
-    S_dense = S_dense.at[KI, :, KI, :].add(Hcc)
 
     # reduced gradient: bs = bc - V Hpp^-1 bp
     ybp = hp("pij,pj->pi", Hpp_inv, bp)  # [P,3]
     bs = bc - hp("pkic,pc->ki", V, ybp)
 
-    # camera damping + fixed-camera prior
-    diag_scale = jnp.maximum(
-        jnp.trace(S_dense[KI, :, KI, :], axis1=-2, axis2=-1) / 6.0, 1e-6
+    # camera damping + fixed-camera prior; the Schur diagonal trace comes
+    # from Z row norms (tr of -Z Z^T block k = -sum of its row norms), so
+    # Hcc + damping land in ONE diagonal scatter
+    tr_S = (
+        jnp.trace(Hcc, axis1=-2, axis2=-1)
+        - jnp.sum(Zt * Zt, axis=1).reshape(K, 6).sum(-1)
     )
+    diag_scale = jnp.maximum(tr_S / 6.0, 1e-6)
     prior = jnp.where(cam_active, lm_lambda * diag_scale, FIXED_PRIOR)
     S_dense = S_dense.at[KI, :, KI, :].add(
-        prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
+        Hcc + prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
     )
 
     S_flat = S_dense.reshape(K * 6, K * 6)
@@ -661,9 +675,13 @@ def local_ba(
     pt_act = pt_in & ((n_obs >= 2) | (n_stereo >= 1))
     obs_ok = obs_ok & pt_act[:, None]
 
+    # LM schedule 3+5 (reference: 5+10, Optimizer.cc:608-653): every local
+    # BA here starts from the previous BA's refined state at keyframe
+    # cadence, so fewer iterations converge — ATE on the synthetic
+    # benchmark is unchanged between 4+6 and 3+5 (0.133 cm both)
     T_new, X_new, obs_in, _ = _ba_core(
         cam, sub_T, sub_X, es, obs_ok, cam_act, pt_act,
-        scale_factor, 4, 6, 1e-4,
+        scale_factor, 3, 5, 1e-4,
     )
 
     # --- scatter back ---
