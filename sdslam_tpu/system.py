@@ -174,6 +174,22 @@ class SDSlamSystem:
                     f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n"
                 )
 
+    def save_trajectory(self, path: str, folder: str):
+        """Reference-format YAML map save (System::SaveTrajectory,
+        System.cc:277-384): camera block, per-KF pose + PNG, per-point
+        position + pixel observations."""
+        from sdslam_tpu.io.map_yaml import save_trajectory_yaml
+
+        save_trajectory_yaml(self, path, folder)
+
+    def load_trajectory(self, path: str) -> bool:
+        """Reference-format YAML map load (System::LoadTrajectory,
+        System.cc:387-533): re-extracts features from saved images,
+        re-links points by pixel, forces relocalization."""
+        from sdslam_tpu.io.map_yaml import load_trajectory_yaml
+
+        return load_trajectory_yaml(self, path) > 0
+
     def save_map(self, path: str):
         """Checkpoint the full array-resident map (npz)."""
         ms = self.tracker.ms
