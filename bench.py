@@ -55,27 +55,22 @@ def main():
         for (t, i, d) in frames
     ]
 
-    def put(i):
-        ts, img, depth = frames[i]
-        return ts, jax.device_put(img), jax.device_put(depth)
-
-    # two independent timed passes, best-of: the device tunnel occasionally
+    # three independent timed passes, best-of: the device tunnel occasionally
     # stalls for hundreds of ms on unrelated traffic; throughput is the
     # steady-state rate. Compilation is cached after the first pass's warmup.
+    # Frames enter as raw host arrays — the tracker packs img+depth+ts into
+    # ONE u8 upload per frame (its ingest path).
     fps = 0.0
-    for rep in range(2):
+    for rep in range(3):
         tracker = RGBDTracker(cfg)
         # warmup: compile every jitted path (init, track, keyframe pipeline)
         for i in range(6):
-            ts, img, depth = put(i)
+            ts, img, depth = frames[i]
             tracker.track(img, depth, ts)
         t0 = time.perf_counter()
         n_timed = 0
-        nxt = put(6)
         for i in range(6, n_frames):
-            ts, img, depth = nxt
-            if i + 1 < n_frames:
-                nxt = put(i + 1)  # one-ahead async upload overlaps compute
+            ts, img, depth = frames[i]
             tracker.track(img, depth, ts)
             n_timed += 1
         elapsed = time.perf_counter() - t0

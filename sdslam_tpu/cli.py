@@ -21,6 +21,11 @@ def _common(sub):
     sub.add_argument("--traj-out", default="trajectory.txt")
     sub.add_argument("--save-map", default=None)
     sub.add_argument("--load-map", default=None)
+    # reference-format YAML map interchange (System::Save/LoadTrajectory)
+    sub.add_argument("--save-trajectory-yaml", default=None,
+                     metavar="YAML", help="reference-schema map save "
+                     "(PNG folder next to it)")
+    sub.add_argument("--load-trajectory-yaml", default=None, metavar="YAML")
     sub.add_argument("--localization-only", action="store_true")
     sub.add_argument("--max-frames", type=int, default=None)
 
@@ -100,6 +105,8 @@ def main(argv=None):
 
     if args.load_map:
         sysm.load_map(args.load_map)
+    if args.load_trajectory_yaml:
+        sysm.load_trajectory(args.load_trajectory_yaml)
     if args.localization_only:
         sysm.activate_localization_mode()
 
@@ -132,6 +139,12 @@ def main(argv=None):
     if args.save_map:
         sysm.save_map(args.save_map)
         print(f"saved map checkpoint {args.save_map}")
+    if args.save_trajectory_yaml:
+        import os
+
+        folder = os.path.splitext(args.save_trajectory_yaml)[0] + "_images"
+        sysm.save_trajectory(args.save_trajectory_yaml, folder)
+        print(f"saved reference-format map {args.save_trajectory_yaml}")
     sysm.shutdown()
 
 

@@ -59,3 +59,43 @@ def test_rgbd_odometry_forward():
     ate = metrics.ate_rmse(est, gt, align=False)
     print(f"ATE={ate*100:.2f}cm")
     assert ate < 0.02
+
+
+def test_packed_frame_path_matches_unpacked():
+    """The single-upload packed path (u8 img + u16 depth + ts in one
+    buffer) must produce the same trajectory as the separate-array path."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdslam_tpu.geometry.camera import CameraModel
+    from sdslam_tpu.io.synthetic import SyntheticSequence
+    from sdslam_tpu.pipeline.tracking import RGBDTracker
+    from sdslam_tpu.utils.config import (
+        MapConfig, ORBConfig, SystemConfig, TrackingConfig,
+    )
+
+    cam = CameraModel(fx=240.0, fy=240.0, cx=159.5, cy=119.5,
+                      width=320, height=240, bf=24.0)
+    cfg = SystemConfig(
+        camera=cam,
+        orb=ORBConfig(max_keypoints=256, n_levels=3),
+        map=MapConfig(max_keyframes=8, max_points=2048, max_kps_per_frame=256),
+        tracking=TrackingConfig(depth_map_factor=1000.0),
+    )
+    seq = SyntheticSequence(cam, n_frames=6, trajectory="orbit", radius=0.04)
+    frames = [
+        (t, np.asarray(i).astype(np.uint8),
+         (np.asarray(d) * 1000).astype(np.uint16))
+        for (t, i, d) in (seq.frame(k) for k in range(6))
+    ]
+    trajs = []
+    for mode in ("packed", "separate"):
+        tr = RGBDTracker(cfg)
+        for ts, img, dep in frames:
+            if mode == "packed":
+                tr.track(img, dep, ts)  # np u8/u16 -> packed path
+            else:
+                tr.track(jnp.asarray(img), jnp.asarray(dep), ts)  # fallback
+        tr.flush()
+        trajs.append(np.stack([np.asarray(p) for p in tr.trajectory]))
+    assert np.allclose(trajs[0], trajs[1], atol=1e-5)
