@@ -633,13 +633,19 @@ class RGBDTracker:
             return step(ms, dst, img, dep, ts, mapping_enabled, w_imu, use_imu)
 
         self._fused_packed = jax.jit(step_packed, donate_argnums=(0, 1))
+        self._step_packed_core = step_packed  # unjitted body for scan fusion
         return jax.jit(step, donate_argnums=(0, 1))
 
     # -- async readback ------------------------------------------------------
 
     def _drain_one(self):
         idx, packed = self._pending.pop(0)
-        p = np.asarray(packed)
+        p = np.asarray(packed)  # [PACK_LEN] or [B, PACK_LEN] (track_batch)
+        rows = p[None] if p.ndim == 1 else p
+        for b, row in enumerate(rows):
+            self._apply_packed_row(idx + b, row)
+
+    def _apply_packed_row(self, idx, p):
         n_inl = int(p[PACK_INLIERS])
         pose = p[PACK_POSE].reshape(4, 4)
         self.trajectory[idx] = pose
@@ -820,6 +826,90 @@ class RGBDTracker:
             return bool(self._pending[0][1].is_ready())
         except AttributeError:
             return True  # backend without is_ready: preserve old behavior
+
+    # -- batched (offline/dataset) ingestion ---------------------------------
+
+    def _get_fused_scan(self, B: int):
+        """One device program tracking B frames via lax.scan over the packed
+        step body — for offline/dataset throughput, where per-frame dispatch
+        (~2 ms each through the tunnel) dominates. Live pipelines should use
+        track() (per-frame latency)."""
+        if not hasattr(self, "_fused_scan_cache"):
+            self._fused_scan_cache = {}
+        if B not in self._fused_scan_cache:
+            body = self._step_packed_core
+
+            def scan_fn(ms, dst, bufs, mapping_enabled, w_imu, use_imu):
+                def f(carry, buf):
+                    ms, dst = carry
+                    ms, dst, packed, T_report, *_ = body(
+                        ms, dst, buf, mapping_enabled, w_imu, use_imu
+                    )
+                    return (ms, dst), (packed, T_report)
+
+                (ms, dst), (packs, Ts) = jax.lax.scan(f, (ms, dst), bufs)
+                return ms, dst, packs, Ts
+
+            self._fused_scan_cache[B] = jax.jit(scan_fn, donate_argnums=(0, 1))
+        return self._fused_scan_cache[B]
+
+    def track_batch(self, items):
+        """Track a list of (img_u8, depth_u16, timestamp) frames in ONE
+        device dispatch (sequential on device, exact per-frame semantics).
+        Results drain in one device->host sync per batch. Frames before
+        initialization (or while LOST) fall back to per-frame track()."""
+        items = list(items)
+        out_idx = []
+        i = 0
+        while i < len(items) and self.st.status != "OK":
+            img, dep, ts = items[i]
+            self.track(img, dep, ts)
+            out_idx.append(len(self.trajectory) - 1)
+            i += 1
+        rest = items[i:]
+        if not rest:
+            return out_idx
+        B = len(rest)
+        H, W = self.cam.height, self.cam.width
+        bufs = np.stack(
+            [pack_frame(img, dep, ts) for (img, dep, ts) in rest]
+        )
+        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu))
+        if flags != self._flags_host:
+            self._flags_host = flags
+            self._flags_dev = (
+                jnp.asarray(self.mapping_enabled),
+                jnp.asarray(self._w_imu),
+                jnp.asarray(self._use_imu),
+            )
+        mapping_d, w_imu_d, use_imu_d = self._flags_dev
+        self.ms, self.dst, packs, Ts = self._get_fused_scan(B)(
+            self.ms, self.dst, jnp.asarray(bufs),
+            mapping_d, w_imu_d, use_imu_d,
+        )
+        try:
+            packs.copy_to_host_async()
+        except AttributeError:
+            pass
+        idx0 = len(self.trajectory)
+        for b, (img, dep, ts) in enumerate(rest):
+            # placeholder; the drain writes the numpy pose (slicing Ts here
+            # would cost one ~ms device dispatch per frame). Poses
+            # materialize on drain/flush.
+            self.trajectory.append(None)
+            self.timestamps.append(ts)
+            out_idx.append(idx0 + b)
+        self._pending.append((idx0, packs))  # one entry drains B rows
+        self.st.frame_id += B
+        self.st.last_ts = rest[-1][2]
+        while (
+            len(self._pending) > self.PIPELINE_DEPTH and self._head_ready()
+        ):
+            self._drain_one()
+        if len(self._pending) > self.DRAIN_HIGH_WATER:
+            while len(self._pending) > self.PIPELINE_DEPTH:
+                self._drain_one()
+        return out_idx
 
     def _relocalize_step(self, img, depth_img, timestamp: float):
         """Recovery via batched relocalization against all keyframes

@@ -99,3 +99,42 @@ def test_packed_frame_path_matches_unpacked():
         tr.flush()
         trajs.append(np.stack([np.asarray(p) for p in tr.trajectory]))
     assert np.allclose(trajs[0], trajs[1], atol=1e-5)
+
+
+def test_track_batch_matches_per_frame():
+    """track_batch (one scan dispatch per B frames) must produce the same
+    trajectory as per-frame track()."""
+    from sdslam_tpu.geometry.camera import CameraModel
+    from sdslam_tpu.io.synthetic import SyntheticSequence
+    from sdslam_tpu.pipeline.tracking import RGBDTracker
+    from sdslam_tpu.utils.config import (
+        MapConfig, ORBConfig, SystemConfig, TrackingConfig,
+    )
+
+    cam = CameraModel(fx=240.0, fy=240.0, cx=159.5, cy=119.5,
+                      width=320, height=240, bf=24.0)
+    cfg = SystemConfig(
+        camera=cam,
+        orb=ORBConfig(max_keypoints=256, n_levels=3),
+        map=MapConfig(max_keyframes=8, max_points=2048, max_kps_per_frame=256),
+        tracking=TrackingConfig(depth_map_factor=1000.0),
+    )
+    seq = SyntheticSequence(cam, n_frames=9, trajectory="orbit", radius=0.04)
+    frames = [
+        (t, np.asarray(i).astype(np.uint8),
+         (np.asarray(d) * 1000).astype(np.uint16))
+        for (t, i, d) in (seq.frame(k) for k in range(9))
+    ]
+    tr1 = RGBDTracker(cfg)
+    for img, dep, ts in ((i, d, t) for (t, i, d) in frames):
+        tr1.track(img, dep, ts)
+    tr1.flush()
+    tr2 = RGBDTracker(cfg)
+    items = [(i, d, t) for (t, i, d) in frames]
+    tr2.track_batch(items[:5])   # includes init fallback + first scan
+    tr2.track_batch(items[5:])
+    tr2.flush()
+    a = np.stack([np.asarray(p) for p in tr1.trajectory])
+    b = np.stack([np.asarray(p) for p in tr2.trajectory])
+    assert a.shape == b.shape
+    assert np.allclose(a, b, atol=1e-5)
