@@ -171,4 +171,15 @@ static struct PyModuleDef moduledef = {
     -1, methods,
 };
 
-PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&moduledef); }
+/* dataset-ingest runtime (PNG decode, frame packing, threaded prefetcher) */
+extern PyMethodDef sdslam_loader_methods[];
+
+PyMODINIT_FUNC PyInit__native(void) {
+    PyObject *m = PyModule_Create(&moduledef);
+    if (!m) return NULL;
+    if (PyModule_AddFunctions(m, sdslam_loader_methods) < 0) {
+        Py_DECREF(m);
+        return NULL;
+    }
+    return m;
+}

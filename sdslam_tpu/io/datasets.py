@@ -106,6 +106,58 @@ class TUMRGBDDataset:
         for i in range(len(self)):
             yield self.frame(i)
 
+    def prefetch_iter(self, n_threads: int = 2, depth: int = 8,
+                      raw: bool = False):
+        """Iterate frames decoded ahead by the native pthread prefetcher
+        (native/loader.c): the tracker never stalls on PNG decode — the
+        native-runtime counterpart of the reference's front-end ingest.
+        Falls back to the synchronous PIL path when the extension (or its
+        PNG support) is unavailable.
+
+        raw=True yields (ts, img u8, depth u16 raw counts) — the tracker's
+        packed ingest dtypes; otherwise (ts, img f32, depth f32 meters)."""
+        try:
+            from sdslam_tpu import _native
+
+            _native.prefetcher_new
+        except (ImportError, AttributeError):
+            for ts, img, dep in self:
+                if raw:
+                    yield ts, img.astype(np.uint8), (
+                        dep * self.depth_factor
+                    ).astype(np.uint16)
+                else:
+                    yield ts, img, dep
+            return
+        jobs = [
+            (os.path.join(self.root, rgb_rel),
+             os.path.join(self.root, depth_rel), ts)
+            for ts, rgb_rel, _, depth_rel in self.assoc
+        ]
+        cap = _native.prefetcher_new(jobs, n_threads, depth)
+        while True:
+            item = _native.prefetcher_next(cap)
+            if item is None:
+                return
+            ts, (ib, iw, ih, ibd), dtup = item
+            img = np.frombuffer(
+                ib, np.uint8 if ibd == 8 else "<u2"
+            ).reshape(ih, iw)
+            if ibd == 16:  # gray stored at 16 bits: scale to u8 range
+                img = (img >> 8).astype(np.uint8)
+            db, dw, dh, dbd = dtup
+            dep = np.frombuffer(db, "<u2" if dbd == 16 else np.uint8).reshape(
+                dh, dw
+            )
+            if dbd != 16:
+                dep = dep.astype(np.uint16)
+            if raw:
+                yield ts, img, dep
+            else:
+                yield ts, img.astype(np.float32), (
+                    dep.astype(np.float32) / self.depth_factor
+                )
+
 
 class TUMMonoDataset:
     """Monocular TUM: rgb.txt only (or a files.txt list as the reference's

@@ -26,7 +26,7 @@ PT_TILE = 128
 PATCH = 16  # 4x4
 
 
-def _kernel(img_ref, uvz_ref, patch_ref, J_ref, valid_ref, H_ref, b_ref,
+def _kernel(img_ref, uvz_ref, patch_ref, J_ref, okpx_ref, H_ref, b_ref,
             chi_ref, *, fx, fy, cx, cy, patch_half):
     i = pl.program_id(0)
 
@@ -61,15 +61,23 @@ def _kernel(img_ref, uvz_ref, patch_ref, J_ref, valid_ref, H_ref, b_ref,
     y0c = jnp.clip(y0i, 0, Himg - 2)
 
     img = img_ref[:]
-    flat = img.reshape(-1)
-    idx = y0c * Wimg + x0c
-    v00 = jnp.take(flat, idx, axis=0)
-    v01 = jnp.take(flat, idx + 1, axis=0)
-    v10 = jnp.take(flat, idx + Wimg, axis=0)
-    v11 = jnp.take(flat, idx + Wimg + 1, axis=0)
+    # Mosaic only lowers 2D gathers: flatten the image to [1, H*W] and keep
+    # the index tensor 2D ([1, T*16]) via take_along_axis
+    T = x0c.shape[0]
+    flat2 = img.reshape(1, Himg * Wimg)
+    idx = (y0c * Wimg + x0c).reshape(1, T * PATCH)
+
+    def tap(off):
+        g = jnp.take_along_axis(flat2, idx + off, axis=1)
+        return g.reshape(T, PATCH)
+
+    v00 = tap(0)
+    v01 = tap(1)
+    v10 = tap(Wimg)
+    v11 = tap(Wimg + 1)
     cur = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (v10 * (1 - wx) + v11 * wx) * wy
 
-    m = inb & valid_ref[:] [:, None] & zok[:, None]
+    m = inb & (okpx_ref[:] > 0) & zok[:, None]
     r = jnp.where(m, (cur - patch_ref[:]) / 255.0, 0.0)  # [T,16]
 
     J = J_ref[:]  # [T, 16*6] flattened
@@ -91,7 +99,7 @@ def accumulate_gn(
     Xc,  # [N,3] points in the current camera frame (already transformed)
     ref_patch,  # [N,16]
     J,  # [N,16,6] cached reference Jacobians
-    valid,  # [N]
+    okpx,  # [N,16] per-pixel reference validity (point valid & in-border)
     fx: float, fy: float, cx: float, cy: float,
     patch_half: int = 2,
     interpret: bool = False,
@@ -103,7 +111,7 @@ def accumulate_gn(
         Xc = jnp.concatenate([Xc, jnp.ones((pad, 3), Xc.dtype)])
         ref_patch = jnp.concatenate([ref_patch, jnp.zeros((pad, PATCH), ref_patch.dtype)])
         J = jnp.concatenate([J, jnp.zeros((pad, PATCH, 6), J.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        okpx = jnp.concatenate([okpx, jnp.zeros((pad, PATCH), bool)])
     M = Xc.shape[0]
     kern = functools.partial(
         _kernel, fx=fx, fy=fy, cx=cx, cy=cy, patch_half=float(patch_half)
@@ -121,7 +129,7 @@ def accumulate_gn(
             pl.BlockSpec((PT_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PT_TILE, PATCH), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PT_TILE, PATCH * 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PT_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT_TILE, PATCH), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((6, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -129,5 +137,5 @@ def accumulate_gn(
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(img, Xc, ref_patch, J.reshape(M, PATCH * 6), valid)
+    )(img, Xc, ref_patch, J.reshape(M, PATCH * 6), okpx.astype(jnp.float32))
     return H, b[:, 0], chi[0, 0], chi[0, 1].astype(jnp.int32)

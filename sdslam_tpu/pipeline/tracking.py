@@ -398,12 +398,27 @@ kf_pipeline = functools.partial(
 )(_kf_core)
 
 
+try:  # native single-pass packer (native/loader.c)
+    from sdslam_tpu import _native as _nat
+    _HAS_NATIVE_PACK = hasattr(_nat, "pack_frame")
+except ImportError:  # pragma: no cover - extension not built
+    _nat = None
+    _HAS_NATIVE_PACK = False
+
+
 def pack_frame(img_u8, depth_u16, timestamp: float):
     """Pack (u8 intensity [H,W], u16 depth [H,W], f32 timestamp) into one
     u8 buffer [H+1, 3W] for a single host->device upload: image | depth-lo |
     depth-hi planes, timestamp bytes in the trailer row."""
     H, W = img_u8.shape
     buf = np.empty((H + 1, 3 * W), np.uint8)
+    if _HAS_NATIVE_PACK:
+        _nat.pack_frame(
+            np.ascontiguousarray(img_u8),
+            np.ascontiguousarray(depth_u16),
+            float(timestamp), buf, H, W,
+        )
+        return buf
     buf[:H, :W] = img_u8
     buf[:H, W : 2 * W] = (depth_u16 & 0xFF).astype(np.uint8)
     buf[:H, 2 * W : 3 * W] = (depth_u16 >> 8).astype(np.uint8)

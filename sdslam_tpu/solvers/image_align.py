@@ -31,6 +31,18 @@ from sdslam_tpu.ops import interp
 PATCH_HALF = 2
 PATCH_AREA = (2 * PATCH_HALF) ** 2  # 4x4 = 16
 
+# Pallas patch-warp kernel gate. OFF by default: Mosaic only lowers
+# same-shape 2D gathers, so the kernel's scattered bilinear taps cannot
+# compile on current TPU toolchains (the prototype in
+# ops/pallas/align_kernel.py is validated in interpret mode). The XLA
+# gather path below costs ~0.3 ms/frame across all levels — within noise
+# of the kernel's projected gain — so XLA stays the production path.
+_ALIGN_KERNEL = False
+
+
+def _align_kernel_enabled() -> bool:
+    return _ALIGN_KERNEL
+
 
 class AlignResult(NamedTuple):
     T_cur_ref: jnp.ndarray  # [4,4]
@@ -92,9 +104,22 @@ def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_
     """GN iterations at one level (inverse compositional: J fixed)."""
     H = jnp.einsum("npi,npj->ij", jnp.where(ok[..., None], J, 0.0), J)
     offs = _patch_offsets()
+    use_kernel = _align_kernel_enabled()
+    if use_kernel:
+        from sdslam_tpu.ops.pallas import align_kernel as ak
 
-    def residuals(T):
+    def gn_terms(T):
+        """(b [6], chi2, n) at iterate T — fused Pallas sample+accumulate on
+        TPU (the north-star "patch-warp photometric residuals" kernel),
+        XLA gather+einsum elsewhere."""
         Xc = lie.se3_apply(T, X_ref)  # [N,3]
+        if use_kernel:
+            _, b, chi_sum, n = ak.accumulate_gn(
+                cur_img, Xc, ref_patch, J, ok,
+                float(fx_l), float(fy_l), float(cx_l), float(cy_l),
+            )
+            n = jnp.maximum(n, 1)
+            return b, chi_sum / n, n
         z_ok = Xc[:, 2] > 0.01
         u = fx_l * Xc[:, 0] / jnp.maximum(Xc[:, 2], 1e-6) + cx_l
         v = fy_l * Xc[:, 1] / jnp.maximum(Xc[:, 2], 1e-6) + cy_l
@@ -104,16 +129,16 @@ def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_
         r = jnp.where(m, (cur - ref_patch) / 255.0, 0.0)
         n = jnp.maximum(jnp.sum(m), 1)
         chi2 = jnp.sum(r * r) / n
-        return r, m, chi2, n
+        b = jnp.einsum("npi,np->i", jnp.where(m[..., None], J, 0.0), r)
+        return b, chi2, n
 
     def body(carry):
         T, best_T, best_chi2, it, _ = carry
-        r, m, chi2, n = residuals(T)
+        b, chi2, n = gn_terms(T)
         improved = chi2 < best_chi2
         best_T = jnp.where(improved, T, best_T)
         best_chi2 = jnp.minimum(chi2, best_chi2)
         # IC-LK: delta = H^-1 sum(J^T r), warp update T <- T * Exp(-delta)
-        b = jnp.einsum("npi,np->i", jnp.where(m[..., None], J, 0.0), r)
         delta = _solve6(H, b)
         T_next = T @ lie.se3_exp(-delta)
         # stop on convergence or on chi2 increase (reference rollback
@@ -128,7 +153,7 @@ def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_
     init = (T_init, T_init, jnp.asarray(jnp.inf, jnp.float32), 0, False)
     T, best_T, best_chi2, _, _ = jax.lax.while_loop(cond, body, init)
     # the last iterate was never chi2-evaluated inside the loop
-    _, _, chi2_T, n_T = residuals(T)
+    _, chi2_T, n_T = gn_terms(T)
     T_out = jnp.where(chi2_T <= best_chi2, T, best_T)
     chi2_out = jnp.minimum(chi2_T, best_chi2)
     return T_out, chi2_out, n_T

@@ -11,7 +11,8 @@ from setuptools import Extension, find_packages, setup
 ext_modules = [
     Extension(
         "sdslam_tpu._native",
-        sources=["native/native.c"],
+        sources=["native/native.c", "native/loader.c"],
+        libraries=["png", "pthread"],
         extra_compile_args=["-O3", "-std=c11"],
         optional=True,
     )

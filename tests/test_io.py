@@ -118,3 +118,38 @@ def test_native_extension_matches_python():
          for i in range(9)]
     )
     np.testing.assert_array_equal(out_m, ref)
+
+
+def test_native_prefetch_iter(tmp_path):
+    """Native threaded prefetcher yields the same frames as the PIL path."""
+    import os
+
+    from PIL import Image
+
+    from sdslam_tpu.io.datasets import TUMRGBDDataset
+
+    root = tmp_path / "seq"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rng = np.random.default_rng(3)
+    rgb_lines, dep_lines = [], []
+    for k in range(4):
+        img = rng.integers(0, 255, (24, 32), dtype=np.uint8)
+        dep = rng.integers(100, 30000, (24, 32), dtype=np.uint16)
+        Image.fromarray(img).save(root / "rgb" / f"{k}.png")
+        Image.fromarray(dep).save(root / "depth" / f"{k}.png")
+        rgb_lines.append(f"{k}.0 rgb/{k}.png")
+        dep_lines.append(f"{k}.01 depth/{k}.png")
+    (root / "rgb.txt").write_text("\n".join(rgb_lines))
+    (root / "depth.txt").write_text("\n".join(dep_lines))
+
+    ds = TUMRGBDDataset(str(root), depth_factor=1000.0)
+    sync = list(ds)
+    pre = list(ds.prefetch_iter(n_threads=2, depth=2))
+    assert len(pre) == len(sync) == 4
+    for (t1, i1, d1), (t2, i2, d2) in zip(sync, pre):
+        assert t1 == t2
+        assert np.allclose(i1, i2)
+        assert np.allclose(d1, d2)
+    raw = list(ds.prefetch_iter(raw=True))
+    assert raw[0][1].dtype == np.uint8 and raw[0][2].dtype == np.uint16

@@ -30,10 +30,11 @@ def test_align_kernel_matches_xla(rng):
     patch = rng.uniform(0, 255, (N, 16)).astype(np.float32)
     J = rng.normal(size=(N, 16, 6)).astype(np.float32) * 0.01
     valid = rng.uniform(size=N) > 0.2
+    okpx = valid[:, None] & (rng.uniform(size=(N, 16)) > 0.1)
 
     Hm, b, chi, n = align_kernel.accumulate_gn(
         img, jnp.asarray(Xc), jnp.asarray(patch), jnp.asarray(J),
-        jnp.asarray(valid), fx, fy, cx, cy, interpret=True,
+        jnp.asarray(okpx), fx, fy, cx, cy, interpret=True,
     )
 
     # XLA reference (mirrors solvers/image_align residual math)
@@ -45,7 +46,7 @@ def test_align_kernel_matches_xla(rng):
     dy = (d // 4) - 2.0
     uv = np.stack([u[:, None] + dx, v[:, None] + dy], -1).astype(np.float32)
     cur, ok = interp.bilinear_sample(img, jnp.asarray(uv))
-    m = np.asarray(ok) & valid[:, None] & (z > 0.01)[:, None]
+    m = np.asarray(ok) & okpx & (z > 0.01)[:, None]
     r = np.where(m, (np.asarray(cur) - patch) / 255.0, 0.0)
     Jm = np.where(m[:, :, None], J, 0.0)
     H_ref = np.einsum("tpi,tpj->ij", Jm, J)
