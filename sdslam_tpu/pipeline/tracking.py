@@ -660,6 +660,29 @@ class RGBDTracker:
         for b, row in enumerate(rows):
             self._apply_packed_row(idx + b, row)
 
+    def _drain_burst(self, k: int):
+        """Drain k pending entries with ONE device->host fetch: each fetch
+        pays a tunnel sync regardless of size, so the burst stacks the
+        per-frame result vectors on device first. Batched (track_batch)
+        entries drain individually (they are already one fetch each)."""
+        k = min(k, len(self._pending))
+        singles = []
+        while k > 0 and self._pending:
+            idx, packed = self._pending[0]
+            if packed.ndim != 1:
+                break  # batch entry: handle via _drain_one below
+            singles.append(self._pending.pop(0))
+            k -= 1
+        if len(singles) == 1:
+            self._pending.insert(0, singles[0])
+            self._drain_one()
+        elif singles:
+            stacked = np.asarray(jnp.stack([p for _, p in singles]))
+            for (idx, _), row in zip(singles, stacked):
+                self._apply_packed_row(idx, row)
+        if k > 0 and self._pending:
+            self._drain_one()
+
     def _apply_packed_row(self, idx, p):
         n_inl = int(p[PACK_INLIERS])
         pose = p[PACK_POSE].reshape(4, 4)
@@ -830,10 +853,10 @@ class RGBDTracker:
             and self._head_ready()
         ):
             self._drain_one()
-        # forced burst once the queue is deep (amortizes the tunnel sync)
+        # forced burst once the queue is deep: ONE stacked fetch (each
+        # fetch pays a full tunnel sync regardless of payload size)
         if len(self._pending) > self.DRAIN_HIGH_WATER:
-            while len(self._pending) > self.PIPELINE_DEPTH:
-                self._drain_one()
+            self._drain_burst(len(self._pending) - self.PIPELINE_DEPTH)
         return self.trajectory[idx]
 
     def _head_ready(self) -> bool:
@@ -979,10 +1002,64 @@ class MonoTracker(RGBDTracker):
     def track(self, img, timestamp: float):  # type: ignore[override]
         return super().track(img, None, timestamp)
 
+    def _pattern_initialize(self, frame: Frame, timestamp: float) -> bool:
+        """Metric-scale monocular bootstrap from a chessboard
+        (Tracking::PatternInitialization, Tracking.cc:506-568): the first
+        frame that sees the pattern becomes the identity-pose keyframe and
+        every keypoint whose ray hits the board rectangle spawns a metric
+        map point."""
+        from sdslam_tpu.features import pattern as pat
+
+        f = frame.features
+        img = np.asarray(frame.pyramid[0])
+        res = pat.detect_pattern(
+            np.clip(img, 0, 255).astype(np.uint8), self.cam
+        )
+        if not res.found:
+            return False
+        uv = np.asarray(f.uv_und)
+        inside, X_cam = pat.metric_points_on_board(res, self.cam, uv)
+        inside &= np.asarray(f.valid)
+        if inside.sum() < 20:
+            return False
+        slot = self._free_kf_slot()
+        assoc = jnp.full((f.capacity,), -1, jnp.int32)
+        self.ms = keyframe_step(
+            self.cam, self.ms, slot, jnp.eye(4),
+            f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
+            frame.depth, frame.uright, assoc, self._stored_pyr(frame),
+            jnp.asarray(self.st.frame_id, jnp.int32),
+            jnp.asarray(timestamp, jnp.float32), jnp.asarray(-1, jnp.int32),
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        # frame pose = identity, so camera-frame points ARE world points
+        self.ms, _ = M.create_points(
+            self.ms, jnp.asarray(slot), jnp.asarray(inside),
+            jnp.asarray(X_cam),
+        )
+        self.ms = M.finalize_point_statistics(
+            self.ms, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+        )
+        self.st.last_assoc = self.ms.kf_mp[slot]
+        self.st.last_kf_slot = slot
+        self.st.T_last = jnp.eye(4)
+        self.st.last_ts = timestamp
+        self.st.status = "OK"
+        self.st.frames_since_kf = 0
+        self.st.ref_kf_inliers = int(jnp.sum(self.st.last_assoc >= 0))
+        self._start_device_state(slot, jnp.eye(4), timestamp)
+        return True
+
     def _initialize(self, frame: Frame, timestamp: float):
         from sdslam_tpu.solvers import initializer as init_mod
 
         f = frame.features
+        if self.cfg.tracking.use_pattern:
+            # UsePattern config (Tracking.cc:121,198-199): chessboard metric
+            # init replaces the two-view bootstrap entirely
+            self._pattern_initialize(frame, timestamp)
+            return
         if self._init_frame is None:
             self._init_frame = frame
             self._init_ts = timestamp

@@ -106,3 +106,30 @@ def test_calibration_roundtrip():
     # a small 6x4 board over 6 views bounds focal accuracy to ~10%
     assert abs(cam_est.fx - CAM.fx) / CAM.fx < 0.12
     assert abs(cam_est.cx - CAM.cx) < 15
+
+
+def test_pattern_initialization_mono():
+    """UsePattern monocular bootstrap (Tracking::PatternInitialization,
+    Tracking.cc:506-568): a chessboard frame creates a metric-scale map."""
+    from sdslam_tpu.pipeline.tracking import MonoTracker
+    from sdslam_tpu.utils.config import (
+        MapConfig, ORBConfig, SystemConfig, TrackingConfig,
+    )
+
+    cfg = SystemConfig(
+        camera=CAM,
+        orb=ORBConfig(max_keypoints=512, n_levels=3),
+        map=MapConfig(max_keyframes=8, max_points=2048, max_kps_per_frame=512),
+        tracking=TrackingConfig(use_pattern=True),
+    )
+    tr = MonoTracker(cfg)
+    img = render_board(CAM, board_pose(z=0.5))
+    tr.track(img, 0.0)
+    tr.flush()
+    assert tr.st.status == "OK"
+    ms = tr.ms
+    n_pts = int(np.asarray(ms.pt_valid).sum())
+    assert n_pts >= 20
+    # metric scale: points live on the board plane ~0.4-0.7 m from the camera
+    z = np.asarray(ms.pt_pos)[np.asarray(ms.pt_valid)][:, 2]
+    assert (np.abs(np.median(z) - 0.5) < 0.15), np.median(z)
