@@ -150,7 +150,12 @@ def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_
         _, _, _, it, stop = carry
         return (it < iters) & (~stop)
 
-    init = (T_init, T_init, jnp.asarray(jnp.inf, jnp.float32), 0, False)
+    # canonical carry dtypes (weak types break while_loop under shard_map)
+    T0 = jnp.asarray(T_init, jnp.float32)
+    init = (
+        T0, T0, jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
     T, best_T, best_chi2, _, _ = jax.lax.while_loop(cond, body, init)
     # the last iterate was never chi2-evaluated inside the loop
     _, chi2_T, n_T = gn_terms(T)
