@@ -708,7 +708,7 @@ class RGBDTracker:
     def flush(self):
         """Drain every in-flight frame (call before reading host state)."""
         while self._pending:
-            self._drain_one()
+            self._drain_burst(len(self._pending))
 
     # -- host API ------------------------------------------------------------
 
@@ -847,16 +847,15 @@ class RGBDTracker:
         st.last_frame = Frame(feats, tuple(pyramid), d, uright, T_report)
         st.last_ts = timestamp
         st.frame_id += 1
-        # free drains: results whose async D2H already landed cost no sync
-        while (
-            len(self._pending) > self.PIPELINE_DEPTH
-            and self._head_ready()
+        # drain in stacked bursts of >= 3: every fetch pays a full tunnel
+        # sync (regardless of payload size, and is_ready() may ack before
+        # the data actually landed on some tunnel backends), so k results
+        # are always fetched as ONE stacked array
+        k = len(self._pending) - self.PIPELINE_DEPTH
+        if k >= 3 and (
+            len(self._pending) > self.DRAIN_HIGH_WATER or self._head_ready()
         ):
-            self._drain_one()
-        # forced burst once the queue is deep: ONE stacked fetch (each
-        # fetch pays a full tunnel sync regardless of payload size)
-        if len(self._pending) > self.DRAIN_HIGH_WATER:
-            self._drain_burst(len(self._pending) - self.PIPELINE_DEPTH)
+            self._drain_burst(k)
         return self.trajectory[idx]
 
     def _head_ready(self) -> bool:
