@@ -197,6 +197,7 @@ def cull_keyframes(
     obs_lists=None,  # optional precomputed (obs_kf, obs_kp) [P,M]
     rows_mask=None,  # [K] bool: candidate rows (default: all valid)
     max_rows: int = 16,
+    covis=None,  # optional precomputed covisibility for re-parenting
 ) -> M.MapState:
     """KeyFrameCulling: mark a KF redundant when >= 90% of its observed
     points are seen by >= 3 other KFs at the same or finer octave
@@ -245,13 +246,20 @@ def cull_keyframes(
     ratio = jnp.sum(redundant_obs, axis=1) / jnp.maximum(n_obs_kf, 1)
     candidate = row_in & (ratio > redundancy) & (n_obs_kf > 0)
     candidate &= row_idx != protect_slot
+    # never cull a loop-edge endpoint: the stored edge must keep entering
+    # later essential-graph optimizations (the reference pins loop KFs with
+    # SetNotErase, KeyFrame.cc:403-428 / LoopClosing.cc:231-238)
+    is_loop_kf = jnp.zeros((ms.K + 1,), bool).at[
+        jnp.where(ms.loop_edges >= 0, ms.loop_edges, ms.K).ravel()
+    ].set(True, mode="drop")[: ms.K]
+    candidate &= ~is_loop_kf[row_idx]
     # never cull the oldest (gauge anchor)
     oldest = jnp.argmin(jnp.where(ms.kf_valid, ms.kf_frame_id, jnp.iinfo(jnp.int32).max))
     candidate &= row_idx != oldest
     best = jnp.argmax(jnp.where(candidate, ratio, -1.0))
     kill_slot = jnp.where(jnp.any(candidate), row_idx[best], ms.K)
     kill = jnp.zeros((ms.K,), bool).at[kill_slot].set(True, mode="drop")
-    return M.remove_keyframes(ms, kill)
+    return M.remove_keyframes(ms, kill, covis=covis)
 
 
 def _fundamental_from_poses(cam: CameraModel, T1w, T2w):

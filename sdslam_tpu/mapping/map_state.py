@@ -49,6 +49,12 @@ class MapState(NamedTuple):
     kf_parent: jnp.ndarray  # [K] int32 spanning-tree parent (-1 root)
     kf_pyramid: Tuple[jnp.ndarray, ...]  # per level: [K, H_l, W_l] float32
 
+    # --- persistent loop edges [L,2] int32 slot pairs, -1 padded ---
+    # (KeyFrame::AddLoopEdge, KeyFrame.cc:401: every accepted loop closure
+    # is remembered and re-enters every later essential-graph optimization,
+    # Optimizer.cc:853-874)
+    loop_edges: jnp.ndarray
+
     # --- point pool [P, ...] ---
     pt_valid: jnp.ndarray  # [P] bool
     pt_pos: jnp.ndarray  # [P,3]
@@ -89,9 +95,11 @@ def init_map(
     max_points: int,
     max_kps: int,
     pyramid_shapes: Tuple[Tuple[int, int], ...],
+    max_loop_edges: int = 32,
 ) -> MapState:
     K, P, N = max_keyframes, max_points, max_kps
     return MapState(
+        loop_edges=jnp.full((max_loop_edges, 2), -1, jnp.int32),
         kf_valid=jnp.zeros((K,), bool),
         kf_Tcw=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
         kf_uv=jnp.zeros((K, N, 2), jnp.float32),
@@ -491,11 +499,79 @@ def remove_points(ms: MapState, kill_mask) -> MapState:
     return ms._replace(pt_valid=pt_valid, kf_mp=jnp.where(obs_alive, ms.kf_mp, -1))
 
 
-def remove_keyframes(ms: MapState, kill_mask) -> MapState:
-    """Invalidate keyframes (their observations vanish with kf_valid)."""
+def remove_keyframes(ms: MapState, kill_mask, covis=None) -> MapState:
+    """Invalidate keyframes, preserving graph consistency:
+
+      * children of a culled KF are re-parented (KeyFrame::SetBadFlag
+        reassigns children over the candidate graph, KeyFrame.cc:430-508):
+        the new parent is the child's most-covisible SURVIVING keyframe
+        with a strictly earlier frame id (earlier-id parents keep the
+        spanning structure acyclic by construction — the reference gets
+        the same invariant from its insertion-ordered candidate growth),
+        falling back to the culled KF's own parent;
+      * points whose reference KF is culled are re-anchored to their
+        earliest surviving observer (MapPoint::SetBadFlag analogue —
+        pt_ref_kf drives loop-correction re-anchoring so it must stay
+        alive);
+      * persistent loop edges touching a culled KF are dropped (the
+        reference instead refuses to erase loop keyframes — callers here
+        additionally protect loop-edge endpoints in KeyFrameCulling).
+    """
+    K = ms.K
+    valid_new = ms.kf_valid & (~kill_mask)
+    if covis is None:
+        covis = covisibility(ms)
+    par = ms.kf_parent
+    par_safe = jnp.clip(par, 0, K - 1)
+    orphan = valid_new & (par >= 0) & kill_mask[par_safe]
+    fid = ms.kf_frame_id
+    earlier = fid[None, :] < fid[:, None]  # [child, cand]
+    w = jnp.where(valid_new[None, :] & earlier, covis, -1)
+    best = jnp.argmax(w, axis=1).astype(jnp.int32)
+    has_best = jnp.take_along_axis(w, best[:, None], 1)[:, 0] > 0
+    grandpa = par[par_safe]  # culled parent's own parent
+    gp_ok = (grandpa >= 0) & valid_new[jnp.clip(grandpa, 0, K - 1)]
+    new_par = jnp.where(has_best, best, jnp.where(gp_ok, grandpa, -1))
+    kf_parent = jnp.where(orphan, new_par, par)
+
+    # re-anchor points referencing a culled KF to their earliest survivor
+    obs = jnp.where(
+        valid_new[:, None] & ms.kf_kp_valid & (ms.kf_mp >= 0), ms.kf_mp, -1
+    )
+    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], obs.shape)
+    first_kf = jnp.full((ms.P,), K, jnp.int32).at[
+        jnp.where(obs >= 0, obs, ms.P).ravel()
+    ].min(rows.ravel(), mode="drop")
+    ref_dead = ms.pt_valid & kill_mask[jnp.clip(ms.pt_ref_kf, 0, K - 1)] & (
+        ms.pt_ref_kf >= 0
+    )
+    pt_ref_kf = jnp.where(
+        ref_dead, jnp.where(first_kf < K, first_kf, -1), ms.pt_ref_kf
+    )
+
+    le = ms.loop_edges
+    le_dead = (le < 0) | kill_mask[jnp.clip(le, 0, K - 1)]
+    loop_edges = jnp.where(jnp.any(le_dead, axis=1)[:, None], -1, le)
+
     return ms._replace(
-        kf_valid=ms.kf_valid & (~kill_mask),
+        kf_valid=valid_new,
         kf_mp=jnp.where(kill_mask[:, None], -1, ms.kf_mp),
+        kf_parent=kf_parent,
+        pt_ref_kf=pt_ref_kf,
+        loop_edges=loop_edges,
+    )
+
+
+def add_loop_edge(ms: MapState, i, j) -> MapState:
+    """Record a persistent loop edge (KeyFrame::AddLoopEdge,
+    KeyFrame.cc:401). Silently drops the edge if the fixed-capacity store
+    is full (callers log: the capacity covers dozens of loop closures)."""
+    free = ms.loop_edges[:, 0] < 0
+    slot = jnp.argmax(free)  # first free row
+    slot = jnp.where(jnp.any(free), slot, ms.loop_edges.shape[0])
+    pair = jnp.stack([jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32)])
+    return ms._replace(
+        loop_edges=ms.loop_edges.at[slot].set(pair, mode="drop")
     )
 
 

@@ -152,19 +152,25 @@ def distributed_bundle_adjust(mesh: Mesh, cam: CameraModel, ms, cam_active,
     obs_ok = obs_ok & pt_act[:, None]
     cam_act = cam_active & ms.kf_valid
 
+    # global arrays: process-spanning when the mesh spans hosts (each
+    # process contributes only its own devices' shards), plain device_put
+    # otherwise (parallel/multihost.py)
+    from sdslam_tpu.parallel.multihost import global_put
+
     step = make_distributed_gn_step(mesh, cam, ms.K, scale_factor)
-    shard = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    kf_Tcw = jax.device_put(ms.kf_Tcw, rep)
-    pt_pos = jax.device_put(ms.pt_pos, shard)
-    obs_kf = jax.device_put(obs_kf, shard)
-    obs_kp = jax.device_put(obs_kp, shard)
-    obs_ok = jax.device_put(obs_ok, shard)
-    pt_act = jax.device_put(pt_act, shard)
+    kf_Tcw = global_put(mesh, ms.kf_Tcw, P())
+    pt_pos = global_put(mesh, ms.pt_pos, P("dp"))
+    obs_kf = global_put(mesh, obs_kf, P("dp"))
+    obs_kp = global_put(mesh, obs_kp, P("dp"))
+    obs_ok = global_put(mesh, obs_ok, P("dp"))
+    pt_act = global_put(mesh, pt_act, P("dp"))
+    uv_r = global_put(mesh, ms.kf_uv_und, P())
+    ur_r = global_put(mesh, ms.kf_uright, P())
+    oct_r = global_put(mesh, ms.kf_octave, P())
+    ca_r = global_put(mesh, cam_act, P())
     for _ in range(iters):
         kf_Tcw, pt_pos = step(
-            kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok,
-            jax.device_put(ms.kf_uv_und, rep), jax.device_put(ms.kf_uright, rep),
-            jax.device_put(ms.kf_octave, rep), jax.device_put(cam_act, rep), pt_act,
+            kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, uv_r, ur_r, oct_r,
+            ca_r, pt_act,
         )
     return ms._replace(kf_Tcw=kf_Tcw, pt_pos=pt_pos)

@@ -80,15 +80,16 @@ def distributed_pose_graph(
 
         return jax.lax.fori_loop(0, iters, gn_step, S0)
 
-    spec_e = NamedSharding(mesh, P("dp"))
-    spec_r = NamedSharding(mesh, P())
+    # process-spanning global arrays when the mesh spans hosts
+    from sdslam_tpu.parallel.multihost import global_put
+
     args = (
-        jax.device_put(kf_Ssw, spec_r),
-        jax.device_put(kf_valid, spec_r),
-        jax.device_put(fixed_mask, spec_r),
-        jax.device_put(edges.i, spec_e),
-        jax.device_put(edges.j, spec_e),
-        jax.device_put(edges.S_ij, spec_e),
-        jax.device_put(edges.weight, spec_e),
+        global_put(mesh, kf_Ssw, P()),
+        global_put(mesh, kf_valid, P()),
+        global_put(mesh, fixed_mask, P()),
+        global_put(mesh, edges.i, P("dp")),
+        global_put(mesh, edges.j, P("dp")),
+        global_put(mesh, edges.S_ij, P("dp")),
+        global_put(mesh, edges.weight, P("dp")),
     )
     return jax.jit(run)(*args)

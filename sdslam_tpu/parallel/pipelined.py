@@ -85,7 +85,8 @@ class PipelinedRGBDTracker(RGBDTracker):
         core = self.extractor.core
         has_depth = self._HAS_DEPTH
 
-        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu):
+        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu,
+                 th_radius):
             feats, pyramid, d, uright = core(
                 img, depth_img if has_depth else None, depth_factor
             )
@@ -100,6 +101,7 @@ class PipelinedRGBDTracker(RGBDTracker):
                 feats.uv_und, feats.desc, feats.octave, feats.valid,
                 uright, pyramid, dst.last_kf_slot, T_pred,
                 scale_factor=sf, n_levels=nl, align_min_level=aml,
+                th_radius=th_radius,
             )
             n_inl = out.n_inliers
             track_ok = n_inl >= 10
@@ -260,20 +262,27 @@ class PipelinedRGBDTracker(RGBDTracker):
             if self._HAS_DEPTH
             else img_d
         )
-        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu))
+        th_radius = (
+            self.TH_RADIUS_RELOC
+            if st.frame_id < self._reloc_boost_until
+            else self.TH_RADIUS
+        )
+        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
+                 th_radius)
         if flags != self._flags_host:
             self._flags_host = flags
             self._flags_dev = (
                 jnp.asarray(self.mapping_enabled),
                 jnp.asarray(self._w_imu),
                 jnp.asarray(self._use_imu),
+                jnp.asarray(th_radius, jnp.float32),
             )
-        mapping_d, w_imu_d, use_imu_d = self._flags_dev
+        mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
         (self.ms, self.dst, packed, T_report, feats, pyramid, d, uright,
          assoc) = self._fused(
             self.ms, self.dst, img_d, dep_d,
             jnp.asarray(timestamp, jnp.float32),
-            mapping_d, w_imu_d, use_imu_d,
+            mapping_d, w_imu_d, use_imu_d, th_d,
         )
         self._use_imu = False
         try:

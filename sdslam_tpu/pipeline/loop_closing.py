@@ -259,12 +259,15 @@ def correct_loop_poses(
 
     # essential-graph optimization with the loop edge (fixed: candidate KF).
     # Loop measurement: corrected T_cur = S_cur_cand @ T_cand, so the edge
-    # S_ij = T_cur * T_cand^-1 = S_cur_cand.
-    edges = pose_graph.make_edges_from_covisibility(
+    # S_ij = T_cur * T_cand^-1 = S_cur_cand. All PREVIOUS loop closures'
+    # stored edges re-enter the graph (Optimizer.cc:853-874), and tree
+    # edges preempt covisibility under the edge cap.
+    edges, n_dropped = pose_graph.make_edges_from_covisibility(
         ms.kf_Tcw, ms.kf_valid, covis, ms.kf_parent,
         loop_i=jnp.atleast_1d(cur_kf).astype(jnp.int32),
         loop_j=jnp.atleast_1d(cand_kf).astype(jnp.int32),
         loop_S=S_cur_cand[None],
+        stored_loops=ms.loop_edges,
         covis_min=100,
         max_edges=1024,
     )
@@ -282,7 +285,11 @@ def correct_loop_poses(
     Xc = lie.se3_apply(T_ref_before, ms.pt_pos)
     pt_pos2 = lie.se3_apply(lie.se3_inv(T_ref_after), Xc)
     pt_pos2 = jnp.where(ms.pt_valid[:, None], pt_pos2, ms.pt_pos)
-    return ms._replace(kf_Tcw=kf_Tcw_new, pt_pos=pt_pos2)
+    ms = ms._replace(kf_Tcw=kf_Tcw_new, pt_pos=pt_pos2)
+    # remember the loop edge for every later essential-graph optimization
+    # (KeyFrame::AddLoopEdge, KeyFrame.cc:401)
+    ms = M.add_loop_edge(ms, cur_kf, cand_kf)
+    return ms, n_dropped
 
 
 @dataclasses.dataclass
@@ -372,10 +379,17 @@ class LoopCloser:
         else:
             return ms, info
 
-        ms = correct_loop_poses(
+        ms, n_dropped = correct_loop_poses(
             ms, jnp.asarray(kf_slot), jnp.asarray(cand_slot), ver.S_cur_cand,
             covis, scale_factor=self.scale_factor,
         )
+        if int(n_dropped) > 0:
+            # no silent caps: the essential graph lost covisibility edges
+            print(
+                f"[loop_closing] WARNING: pose-graph edge cap truncated "
+                f"{int(n_dropped)} covisibility edges (tree/loop edges kept)"
+            )
+            info["edges_dropped"] = int(n_dropped)
         # fuse duplicated landmarks around the corrected region
         ms = LM.fuse_neighbors(
             self.cam, ms, jnp.asarray(kf_slot), scale_factor=self.scale_factor

@@ -25,7 +25,7 @@ from sdslam_tpu.geometry import lie
 from sdslam_tpu.geometry.camera import CameraModel
 from sdslam_tpu.mapping import map_state as M
 from sdslam_tpu.ops import hamming as ham
-from sdslam_tpu.solvers import image_align, pose_opt
+from sdslam_tpu.solvers import epnp, image_align, pose_opt
 
 RELOC_ALIGN_MAX_ERROR = 0.01  # fast-mode accept threshold (ImageAlign.cc:36-39)
 
@@ -52,12 +52,27 @@ def relocalize(
     kp_valid,
     uright,
     pyr_cur: Tuple[jnp.ndarray, ...],  # full pyramid of the current frame
+    key=None,  # PRNG key for the EPnP-RANSAC fallback
     scale_factor: float = 2.0,
     n_levels: int = 5,
     store_min_level: int = 2,
     n_verify: int = 3,
 ) -> RelocResult:
-    """Batched alignment against every keyframe, then verify top candidates."""
+    """Batched alignment against every keyframe, then verify top candidates.
+
+    Two-stage verification per candidate:
+      1. photometric: coarse align seeds projection matching + pose GN
+         (the reference's only path, Tracking.cc:1064-1097);
+      2. geometric fallback: brute-force descriptor matching against the
+         keyframe's bound map points + vmapped EPnP-RANSAC + pose GN —
+         the reference's PnPsolver capability (PnPsolver.cc:445, dead code
+         there) made live per SURVEY.md §2.3. It recovers when photometric
+         alignment diverges (large viewpoint change / in-plane rotation:
+         alignment is seeded at the keyframe pose and has a narrow basin,
+         while ORB descriptors are rotation-invariant).
+    The photometric result wins when both succeed (tighter radius)."""
+    if key is None:
+        key = jax.random.key(0)
     K = ms.K
     cur_sub = tuple(pyr_cur[store_min_level:])
 
@@ -139,11 +154,47 @@ def relocalize(
     # pick the verified candidate with most inliers
     score = jnp.where(oks, inls, -1)
     best = jnp.argmax(score)
+    align_success = score[best] > 0
+
+    # --- EPnP-RANSAC geometric fallback over the same candidates ---
+    def epnp_one(slot, k):
+        row = ms.kf_mp[slot]
+        v_kf = (
+            ms.kf_kp_valid[slot]
+            & (row >= 0)
+            & ms.pt_valid[jnp.clip(row, 0, ms.P - 1)]
+        )
+        res = matching.search_brute_force(
+            ms.kf_desc[slot], v_kf, desc, kp_valid,
+            th_desc=ham.TH_LOW, ratio=0.75,
+        )
+        m = res.kp_to_query  # current-frame kp -> keyframe kp
+        pt = jnp.where(m >= 0, row[jnp.clip(m, 0, ms.N - 1)], -1)
+        ok = (pt >= 0) & kp_valid
+        Xw = ms.pt_pos[jnp.clip(pt, 0, ms.P - 1)]
+        pr = epnp.ransac_epnp(cam, Xw, uv_und, ok, k, n_hypotheses=64)
+        T0 = lie.se3_from_Rt(pr.R, pr.t)
+        opt = pose_opt.optimize_pose(
+            cam, T0, Xw, uv_und, inv_sigma2, ok & pr.inliers,
+            ur_obs=uright, rounds=4,
+        )
+        good = pr.success & (opt.n_inliers >= 10)
+        final = jnp.where(ok & pr.inliers & opt.inliers, pt, -1)
+        return good, opt.Tcw, final, opt.n_inliers
+
+    keys = jax.random.split(key, order.shape[0])
+    e_oks, e_Ts, e_assocs, e_inls = jax.vmap(epnp_one)(order, keys)
+    e_score = jnp.where(e_oks, e_inls, -1)
+    e_best = jnp.argmax(e_score)
+    epnp_success = e_score[e_best] > 0
+
+    use_align = align_success
+    pick = jnp.where(use_align, best, e_best)
     return RelocResult(
-        success=score[best] > 0,
-        Tcw=Ts[best],
-        assoc=assocs[best],
-        n_inliers=inls[best],
-        best_kf=order[best],
+        success=align_success | epnp_success,
+        Tcw=jnp.where(use_align, Ts[best], e_Ts[e_best]),
+        assoc=jnp.where(use_align, assocs[best], e_assocs[e_best]),
+        n_inliers=jnp.where(use_align, inls[best], e_inls[e_best]),
+        best_kf=order[pick],
         align_errors=errors,
     )

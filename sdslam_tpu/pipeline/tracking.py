@@ -71,6 +71,7 @@ def _track_core(
     scale_factor: float = 2.0,
     n_levels: int = 5,
     align_min_level: int = 2,
+    th_radius=1.0,  # traced: 1 mono / 3 RGB-D / 5 just-relocalized
 ) -> TrackOutput:
     # --- 1. direct sparse image alignment against the REFERENCE KEYFRAME
     # (BA-refined anchor; aligning to the drifting last frame would compound
@@ -192,7 +193,9 @@ def _track_core(
         desc,
         kp_valid,
         octave,
-        th_radius=1.0,
+        # state-dependent window (Tracking.cc:926-937): th=1 mono, 3 RGB-D,
+        # 5 for the 2 frames after relocalization
+        th_radius=th_radius,
         scale_factor=scale_factor,
         n_levels=n_levels,
     )
@@ -378,7 +381,7 @@ def _kf_core(
     ms = jax.lax.cond(
         jnp.sum(ms.kf_valid) > ms.K // 2,
         lambda m: LM.cull_keyframes(
-            m, slot, obs_lists=obs_lists, rows_mask=rows
+            m, slot, obs_lists=obs_lists, rows_mask=rows, covis=covis
         ),
         lambda m: m,
         ms,
@@ -498,6 +501,10 @@ class RGBDTracker:
     # pathology that collapses throughput to ~13 fps.
     DRAIN_HIGH_WATER = 7
     LOST_PATIENCE = 1  # <10-inlier frames before reloc (immediate, Tracking.cc:235-238)
+    # TrackLocalMap search radius (Tracking.cc:926-937): 3 for RGB-D
+    # (MonoTracker overrides with 1); 5 for the 2 frames after relocalization
+    TH_RADIUS = 3.0
+    TH_RADIUS_RELOC = 5.0
 
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
@@ -533,6 +540,7 @@ class RGBDTracker:
         self.kf_events: List[int] = []  # drained slots of new KFs (loop closing)
         self._w_imu = np.zeros(3, np.float32)
         self._use_imu = False
+        self._reloc_boost_until = -1  # frame id bound for the th=5 window
         self._flags_host = None
         self._flags_dev = None
         self._fused_packed = None  # set by _build_fused when supported
@@ -553,7 +561,8 @@ class RGBDTracker:
         core = self.extractor.core
         has_depth = self._HAS_DEPTH
 
-        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu):
+        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu,
+                 th_radius):
             feats, pyramid, d, uright = core(
                 img, depth_img if has_depth else None, depth_factor
             )
@@ -570,6 +579,7 @@ class RGBDTracker:
                 feats.uv_und, feats.desc, feats.octave, feats.valid,
                 uright, pyramid, dst.last_kf_slot, T_pred,
                 scale_factor=sf, n_levels=nl, align_min_level=aml,
+                th_radius=th_radius,
             )
             n_inl = out.n_inliers
             track_ok = n_inl >= 10
@@ -632,7 +642,8 @@ class RGBDTracker:
 
         H, W = cam.height, cam.width
 
-        def step_packed(ms, dst, buf, mapping_enabled, w_imu, use_imu):
+        def step_packed(ms, dst, buf, mapping_enabled, w_imu, use_imu,
+                        th_radius):
             """Packed-frame variant: ONE u8 upload [H+1, 3W] carries the
             intensity image, the u16 depth (lo/hi byte planes) and the f32
             timestamp (first 4 bytes of the trailer row) — each separate
@@ -645,7 +656,8 @@ class RGBDTracker:
             tsw = buf[H, :4].astype(jnp.uint32)
             ts_bits = tsw[0] | (tsw[1] << 8) | (tsw[2] << 16) | (tsw[3] << 24)
             ts = jax.lax.bitcast_convert_type(ts_bits, jnp.float32)
-            return step(ms, dst, img, dep, ts, mapping_enabled, w_imu, use_imu)
+            return step(ms, dst, img, dep, ts, mapping_enabled, w_imu, use_imu,
+                        th_radius)
 
         self._fused_packed = jax.jit(step_packed, donate_argnums=(0, 1))
         self._step_packed_core = step_packed  # unjitted body for scan fusion
@@ -796,16 +808,23 @@ class RGBDTracker:
             return self._relocalize_step(img, depth_img, timestamp)
 
         st = self.st
-        # cache rarely-changing scalars on device (3 fewer H2D per frame)
-        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu))
+        th_radius = (
+            self.TH_RADIUS_RELOC
+            if st.frame_id < self._reloc_boost_until
+            else self.TH_RADIUS
+        )
+        # cache rarely-changing scalars on device (4 fewer H2D per frame)
+        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
+                 th_radius)
         if flags != self._flags_host:
             self._flags_host = flags
             self._flags_dev = (
                 jnp.asarray(self.mapping_enabled),
                 jnp.asarray(self._w_imu),
                 jnp.asarray(self._use_imu),
+                jnp.asarray(th_radius, jnp.float32),
             )
-        mapping_d, w_imu_d, use_imu_d = self._flags_dev
+        mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
         # packed path: one u8 H2D carrying img + depth + ts (u8 intensity +
         # u16 depth payloads only; anything else falls back)
         if (
@@ -820,7 +839,7 @@ class RGBDTracker:
             self.ms, self.dst, packed, T_report, feats, pyramid, d, uright = (
                 self._fused_packed(
                     self.ms, self.dst, jnp.asarray(buf),
-                    mapping_d, w_imu_d, use_imu_d,
+                    mapping_d, w_imu_d, use_imu_d, th_d,
                 )
             )
         else:
@@ -830,7 +849,7 @@ class RGBDTracker:
                 self._fused(
                     self.ms, self.dst, img_d, dep_d,
                     jnp.asarray(timestamp, jnp.float32),
-                    mapping_d, w_imu_d, use_imu_d,
+                    mapping_d, w_imu_d, use_imu_d, th_d,
                 )
             )
         self._use_imu = False
@@ -876,11 +895,13 @@ class RGBDTracker:
         if B not in self._fused_scan_cache:
             body = self._step_packed_core
 
-            def scan_fn(ms, dst, bufs, mapping_enabled, w_imu, use_imu):
+            def scan_fn(ms, dst, bufs, mapping_enabled, w_imu, use_imu,
+                        th_radius):
                 def f(carry, buf):
                     ms, dst = carry
                     ms, dst, packed, T_report, *_ = body(
-                        ms, dst, buf, mapping_enabled, w_imu, use_imu
+                        ms, dst, buf, mapping_enabled, w_imu, use_imu,
+                        th_radius
                     )
                     return (ms, dst), (packed, T_report)
 
@@ -911,18 +932,20 @@ class RGBDTracker:
         bufs = np.stack(
             [pack_frame(img, dep, ts) for (img, dep, ts) in rest]
         )
-        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu))
+        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
+                 self.TH_RADIUS)
         if flags != self._flags_host:
             self._flags_host = flags
             self._flags_dev = (
                 jnp.asarray(self.mapping_enabled),
                 jnp.asarray(self._w_imu),
                 jnp.asarray(self._use_imu),
+                jnp.asarray(self.TH_RADIUS, jnp.float32),
             )
-        mapping_d, w_imu_d, use_imu_d = self._flags_dev
+        mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
         self.ms, self.dst, packs, Ts = self._get_fused_scan(B)(
             self.ms, self.dst, jnp.asarray(bufs),
-            mapping_d, w_imu_d, use_imu_d,
+            mapping_d, w_imu_d, use_imu_d, th_d,
         )
         try:
             packs.copy_to_host_async()
@@ -958,9 +981,11 @@ class RGBDTracker:
             depth_factor=self.cfg.tracking.depth_map_factor,
         )
         f = frame.features
+        self._reloc_seed = getattr(self, "_reloc_seed", 0) + 1
         rr = relocalize(
             self.cam, self.ms,
             f.uv_und, f.desc, f.octave, f.valid, frame.uright, frame.pyramid,
+            key=jax.random.key(self._reloc_seed),
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
             store_min_level=KF_STORE_MIN_LEVEL,
@@ -976,6 +1001,9 @@ class RGBDTracker:
             st.frames_since_kf = 0
             st.ref_kf_inliers = max(int(jnp.sum(rr.assoc >= 0)), 1)
             self._lost_streak = 0
+            # coarser local-map search for the next 2 frames
+            # (mnLastRelocFrameId window, Tracking.cc:934-936)
+            self._reloc_boost_until = st.frame_id + 1 + 2
             self._start_device_state(int(rr.best_kf), Tcw, timestamp)
         # while lost, report the last known pose
         st.frame_id += 1
@@ -992,6 +1020,7 @@ class MonoTracker(RGBDTracker):
     median depth to 1 (CreateInitialMapMonocular, Tracking.cc:458-504)."""
 
     _HAS_DEPTH = False
+    TH_RADIUS = 1.0  # monocular local-map window (Tracking.cc:931)
 
     def __init__(self, cfg: SystemConfig):
         super().__init__(cfg)

@@ -39,31 +39,54 @@ def make_edges_from_covisibility(
     loop_i=None,
     loop_j=None,
     loop_S=None,
+    stored_loops=None,  # [L,2] persistent loop edges (MapState.loop_edges)
     covis_min: int = 100,
     max_edges: int = 2048,
 ):
     """Build the essential-graph edge set from current poses (measurements
     are the CURRENT relative transforms, as in the reference, which
-    constructs edges from poses before correction)."""
+    constructs edges from poses before correction).
+
+    Edge classes in priority order under the `max_edges` cap (the
+    reference has no cap — it materializes every edge, Optimizer.cc:829-904;
+    here connectivity-critical classes must never be displaced by bulk
+    covisibility):
+      3: stored loop edges from previous closures (Optimizer.cc:853-874)
+      2: spanning-tree edges (Optimizer.cc:829-850)
+      1: strong covisibility (>= covis_min shared, Optimizer.cc:877-904)
+    The fresh loop edge of the in-flight correction (loop_i/j/S) is
+    prepended outside the cap competition.
+
+    Returns (edges, n_dropped) — n_dropped > 0 means covisibility edges were
+    truncated (callers must log it: no silent caps)."""
     K = kf_Tcw.shape[0]
     ii, jj = jnp.meshgrid(jnp.arange(K), jnp.arange(K), indexing="ij")
     upper = ii < jj
     cov_ok = (covis >= covis_min) & upper & kf_valid[:, None] & kf_valid[None, :]
     # spanning-tree edges
-    tree = jnp.zeros((K, K), bool)
     ks = jnp.arange(K)
     par_ok = (parent >= 0) & kf_valid
+    tree = jnp.zeros((K, K), bool)
     tree = tree.at[jnp.where(par_ok, jnp.minimum(ks, parent), K),
                    jnp.where(par_ok, jnp.maximum(ks, parent), K)].set(
         True, mode="drop"
     )
-    use = cov_ok | tree
-    flat = use.ravel()
-    order = jnp.argsort(~flat)  # True entries first
+    pri = cov_ok.astype(jnp.int32) + 2 * tree.astype(jnp.int32)
+    if stored_loops is not None:
+        li, lj = stored_loops[:, 0], stored_loops[:, 1]
+        ok = (li >= 0) & (lj >= 0) & kf_valid[jnp.clip(li, 0, K - 1)] & (
+            kf_valid[jnp.clip(lj, 0, K - 1)]
+        )
+        a = jnp.where(ok, jnp.minimum(li, lj), K)
+        b = jnp.where(ok, jnp.maximum(li, lj), K)
+        pri = pri.at[a, b].max(3, mode="drop")
+    flat = pri.ravel()
+    order = jnp.argsort(-flat)  # highest priority first (stable)
     sel = order[:max_edges]
     ei = (sel // K).astype(jnp.int32)
     ej = (sel % K).astype(jnp.int32)
-    w = flat[sel].astype(jnp.float32)
+    w = (flat[sel] > 0).astype(jnp.float32)
+    n_dropped = jnp.sum(flat > 0) - jnp.sum(w > 0).astype(jnp.int32)
     S_i = kf_Tcw[ei]
     S_j = kf_Tcw[ej]
     S_ij = S_i @ lie.sim3_inv(S_j)
@@ -75,7 +98,7 @@ def make_edges_from_covisibility(
             [jnp.ones((loop_i.shape[0],), jnp.float32) * 5.0,
              w[: max_edges - loop_i.shape[0]]]
         )
-    return PoseGraphEdges(ei, ej, S_ij, w)
+    return PoseGraphEdges(ei, ej, S_ij, w), n_dropped
 
 
 def edge_system(S_all, edges: PoseGraphEdges, K: int, fix_scale: bool):

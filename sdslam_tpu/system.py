@@ -215,6 +215,9 @@ class SDSlamSystem:
         for field in M.MapState._fields:
             if field == "kf_pyramid":
                 fields[field] = tuple(pyr)
+            elif field == "loop_edges" and field not in data:
+                # checkpoints predating persistent loop edges
+                fields[field] = jnp.full((32, 2), -1, jnp.int32)
             else:
                 fields[field] = jnp.asarray(data[field])
         self.tracker.flush()

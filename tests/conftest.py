@@ -23,6 +23,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: long-running e2e/distributed tests "
+        "(fast tier: pytest -m 'not heavy')",
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

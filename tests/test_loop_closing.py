@@ -98,9 +98,12 @@ def test_detect_and_verify_loop():
     # full correction shrinks the revisit keyframe's pose error
     before = np.abs(np.asarray(lie.se3_log(jnp.asarray(
         np.asarray(t.ms.kf_Tcw[slot]) @ np.linalg.inv(true_pose)))))[:3].max()
-    ms2 = LC.correct_loop_poses(
+    ms2, _ = LC.correct_loop_poses(
         t.ms, jnp.asarray(slot), jnp.asarray(cand_slot), ver.S_cur_cand, covis,
     )
+    # the closure is remembered as a persistent loop edge (KeyFrame.cc:401)
+    le = np.asarray(ms2.loop_edges)
+    assert ((le[:, 0] == slot) & (le[:, 1] == cand_slot)).any()
     after = np.abs(np.asarray(lie.se3_log(jnp.asarray(
         np.asarray(ms2.kf_Tcw[slot]) @ np.linalg.inv(true_pose)))))[:3].max()
     assert after < before * 0.4, (before, after)

@@ -117,6 +117,55 @@ def test_remove_keyframes(rng):
     assert cov[1].sum() == 0
 
 
+def test_remove_keyframes_reparents_children(rng):
+    """Culling a mid-tree KF must not leave children pointing at a dead
+    slot (KeyFrame::SetBadFlag, KeyFrame.cc:430-508): the child is
+    re-parented to its best covisible surviving KF with an earlier frame
+    id, and points anchored to the dead KF get a surviving reference."""
+    ms = _populate(small_map(), rng)
+    # tree: 0 <- 1 <- 2; frame ids 0,1,2
+    ms = ms._replace(
+        kf_parent=ms.kf_parent.at[1].set(0).at[2].set(1),
+        kf_frame_id=ms.kf_frame_id.at[1].set(1).at[2].set(2),
+        pt_ref_kf=ms.pt_ref_kf.at[:15].set(1),  # all points anchored to KF1
+    )
+    kill = jnp.zeros((ms.K,), bool).at[1].set(True)
+    ms2 = M.remove_keyframes(ms, kill)
+    # KF2's best surviving earlier covisible is KF0? KF2 shares no points
+    # with KF0 -> falls back to the culled KF's own parent (0)
+    assert int(ms2.kf_parent[2]) == 0
+    # point refs moved off the dead slot to a surviving observer
+    ref = np.asarray(ms2.pt_ref_kf[:15])
+    assert (ref != 1).all()
+    assert set(ref.tolist()) <= {0, 2}
+
+    # now with covisibility: make KF2 share points with KF0 too
+    ms3 = _populate(small_map(), rng)
+    kf_mp = np.array(ms3.kf_mp)
+    kf_mp[2, 8:12] = np.arange(4)  # KF2 also sees points 0-3 (KF0's)
+    ms3 = ms3._replace(
+        kf_mp=jnp.asarray(kf_mp),
+        kf_parent=ms3.kf_parent.at[1].set(0).at[2].set(1),
+        kf_frame_id=ms3.kf_frame_id.at[1].set(1).at[2].set(2),
+    )
+    ms4 = M.remove_keyframes(ms3, jnp.zeros((ms3.K,), bool).at[1].set(True))
+    assert int(ms4.kf_parent[2]) == 0  # best covisible survivor
+
+
+def test_loop_edges_add_and_cull(rng):
+    ms = _populate(small_map(), rng)
+    ms = M.add_loop_edge(ms, 2, 0)
+    le = np.asarray(ms.loop_edges)
+    assert (le[0] == [2, 0]).all()
+    ms = M.add_loop_edge(ms, 1, 0)
+    assert (np.asarray(ms.loop_edges)[1] == [1, 0]).all()
+    # culling an endpoint drops its edge, keeps the other
+    ms2 = M.remove_keyframes(ms, jnp.zeros((ms.K,), bool).at[2].set(True))
+    le = np.asarray(ms2.loop_edges)
+    assert (le[0] == [-1, -1]).all()
+    assert (le[1] == [1, 0]).all()
+
+
 def test_replace_points(rng):
     ms = _populate(small_map(), rng)
     rep = jnp.full((ms.P,), -1, jnp.int32).at[3].set(4)  # fuse 3 -> 4

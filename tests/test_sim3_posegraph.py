@@ -95,7 +95,7 @@ def test_pose_graph_closes_loop():
     T_gt, T_est, kf_S, valid, parent, covis, n_kf = _ring_problem(rng)
     # loop edge: measured TRUE relative transform between KF last and KF 0
     S_loop = jnp.asarray((T_gt[n_kf - 1] @ np.linalg.inv(T_gt[0]))[None])
-    edges = pose_graph.make_edges_from_covisibility(
+    edges, _ = pose_graph.make_edges_from_covisibility(
         kf_S, valid, covis, parent,
         loop_i=jnp.asarray([n_kf - 1]), loop_j=jnp.asarray([0]), loop_S=S_loop,
         covis_min=100, max_edges=64,
