@@ -124,16 +124,17 @@ def main(argv=None):
             sysm.track_monocular(img, ts)
         n += 1
         if n % 10 == 0:
+            # st.status is the async host view (a flushing
+            # get_tracking_state() here would stall the device pipeline)
             fps = n / (time.perf_counter() - t0)
             print(
-                f"frame {n}: state={sysm.get_tracking_state()} "
-                f"kf={int(sysm.tracker.ms.n_keyframes())} "
-                f"pts={int(sysm.tracker.ms.n_points())} {fps:.1f} fps",
+                f"frame {n}: state={sysm.tracker.st.status} {fps:.1f} fps",
                 flush=True,
             )
         if args.max_frames and n >= args.max_frames:
             break
 
+    sysm.finish()
     sysm.save_trajectory_tum(args.traj_out)
     print(f"saved {args.traj_out} ({n} poses); final state {sysm.get_tracking_state()}")
     if args.save_map:

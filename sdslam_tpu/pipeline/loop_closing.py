@@ -292,6 +292,117 @@ def correct_loop_poses(
     return ms, n_dropped
 
 
+class ConsistencyState(NamedTuple):
+    """Device-resident covisibility-consistency state, carried across
+    keyframe events (replaces the reference's host-side mvConsistentGroups,
+    LoopClosing.cc:146-218). Row c holds the covisible group of candidate
+    slot c from the PREVIOUS detection round and its consistency count."""
+
+    mask: jnp.ndarray  # [K,K] bool: group membership per previous candidate
+    count: jnp.ndarray  # [K] int32 consecutive-consistency count
+
+
+def init_consistency(K: int) -> ConsistencyState:
+    return ConsistencyState(
+        mask=jnp.zeros((K, K), bool), count=jnp.zeros((K,), jnp.int32)
+    )
+
+
+# layout of the packed detection readback (one tiny async D2H per KF event)
+DET_FOUND = 0          # any candidate below the absolute bound
+DET_N_CAND = 1         # candidate count this round
+DET_TOP = 2            # 3x (slot, error, enough) for the best candidates
+DET_LEN = 2 + 3 * 3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "scale_factor", "n_levels", "store_min_level",
+        "min_frame_gap", "consistency_th",
+    ),
+)
+def detect_and_consistency(
+    cam: CameraModel,
+    ms: M.MapState,
+    kf_slot,
+    cons: ConsistencyState,
+    scale_factor: float = 2.0,
+    n_levels: int = 5,
+    store_min_level: int = 2,
+    min_frame_gap: int = 30,
+    consistency_th: int = 3,
+):
+    """Fused loop detection + covisibility-consistency bookkeeping as ONE
+    device program (DetectLoop, LoopClosing.cc:100-222).
+
+    The host drains only the packed vector, a few frames late — loop
+    detection adds ZERO host synchronization to the frame loop (the
+    reference decouples with a thread; the TPU build decouples with the
+    async result queue, per the architecture invariant that anything
+    needing an immediate reaction lives on-device).
+
+    Returns (packed [DET_LEN] f32, new ConsistencyState, covis)."""
+    K = ms.K
+    covis = M.covisibility(ms)
+    cand = detect_loop_candidates(
+        cam, ms, kf_slot, covis,
+        scale_factor=scale_factor, n_levels=n_levels,
+        store_min_level=store_min_level, min_frame_gap=min_frame_gap,
+    )
+    errors = cand.errors
+    best_err = errors[cand.cand_kf]
+    is_cand = (errors <= 1.5 * best_err) & (errors < LOOP_ALIGN_MAX_ERROR)
+    found = jnp.any(is_cand)
+
+    # group of each candidate slot = its covisible set + itself
+    groups = (covis > 0) | jnp.eye(K, dtype=bool)
+    groups &= ms.kf_valid[None, :]
+    # overlap[c, g] = candidate c's group shares a KF with previous group g
+    overlap = (
+        jnp.dot(
+            groups.astype(jnp.bfloat16),
+            cons.mask.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        > 0
+    )
+    prev_alive = cons.count >= 0  # rows with count -1 are empty
+    inherit = jnp.max(
+        jnp.where(overlap & prev_alive[None, :], cons.count[None, :] + 1, 0),
+        axis=1,
+    )
+    cnt = jnp.where(is_cand, inherit, -1)
+    enough = is_cand & (cnt + 1 >= consistency_th)
+
+    # next state: candidates' groups replace the previous rounds' groups;
+    # an empty candidate round clears history (LoopClosing.cc:216)
+    new_mask = jnp.where(found, groups & is_cand[:, None], False)
+    new_count = jnp.where(found, cnt, -1)
+
+    # top-3 candidates by error, with their enough flags
+    score = jnp.where(is_cand, -errors, -jnp.inf)
+    top_vals, top_idx = jax.lax.top_k(score, 3)
+    top_ok = jnp.isfinite(top_vals)
+    packed = jnp.concatenate(
+        [
+            jnp.stack([
+                found.astype(jnp.float32),
+                jnp.sum(is_cand).astype(jnp.float32),
+            ]),
+            jnp.stack(
+                [
+                    jnp.where(top_ok, top_idx, -1).astype(jnp.float32),
+                    jnp.where(top_ok, errors[top_idx], jnp.inf),
+                    (enough[top_idx] & top_ok).astype(jnp.float32),
+                ],
+                axis=1,
+            ).ravel(),
+        ]
+    )
+    return packed, ConsistencyState(new_mask, new_count), covis
+
+
 @dataclasses.dataclass
 class LoopCloser:
     """Host-side loop-closing orchestration (consistency across KFs +
@@ -311,61 +422,80 @@ class LoopCloser:
     fix_scale: bool = True
     run_gba: bool = True
     min_frame_gap: int = 30
-    # previous consistent groups: list of (frozenset of KF slots, count)
-    _consistent_groups: list = dataclasses.field(default_factory=list)
+    # detections in flight before the host inspects them (same idea as the
+    # tracker's PIPELINE_DEPTH: by the time a result is read, its transfer
+    # has long landed, so the read costs ~no sync)
+    DETECT_DEPTH: int = 2
+    _cons: Optional[ConsistencyState] = None
+    _pending: list = dataclasses.field(default_factory=list)
     _seed: int = 0
 
-    def process_keyframe(self, ms: M.MapState, kf_slot: int):
-        """Run detection/verification/correction for a new keyframe.
+    # -- async API (used by the System frame loop) ---------------------------
 
-        Returns (ms, info dict)."""
-        covis = M.covisibility(ms)
-        cand = detect_loop_candidates(
-            self.cam, ms, jnp.asarray(kf_slot), covis,
+    def dispatch_keyframe(self, ms: M.MapState, kf_slot: int):
+        """Enqueue detection + consistency for a new keyframe: ONE device
+        dispatch, NO host synchronization (the reference decouples loop
+        closing on a thread, LoopClosing.cc:61-87; here the decoupling is
+        the async result queue + on-device consistency state)."""
+        if self._cons is None or self._cons.mask.shape[0] != ms.K:
+            self._cons = init_consistency(ms.K)
+        packed, self._cons, _ = detect_and_consistency(
+            self.cam, ms, jnp.asarray(kf_slot), self._cons,
             scale_factor=self.scale_factor, n_levels=self.n_levels,
             min_frame_gap=self.min_frame_gap,
+            consistency_th=self.consistency_th,
         )
-        info = {"detected": bool(cand.found), "candidate": int(cand.cand_kf)}
-        if not bool(cand.found):
-            # no candidates: clear history (LoopClosing.cc:216 analogue)
-            self._consistent_groups = []
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending.append((int(kf_slot), packed))
+
+    def poll(self, ms: M.MapState, force: bool = False):
+        """Drain ready detection results and run verification/correction for
+        consistency hits (rare). Returns (ms, list of info dicts)."""
+        infos = []
+        while self._pending:
+            if not force and len(self._pending) <= self.DETECT_DEPTH:
+                head = self._pending[0][1]
+                try:
+                    if not head.is_ready():
+                        break
+                except AttributeError:
+                    pass
+            kf_slot, packed = self._pending.pop(0)
+            p = np.asarray(packed)
+            info = {"kf": kf_slot, "detected": bool(p[DET_FOUND])}
+            if p[DET_FOUND]:
+                top = p[DET_TOP:].reshape(3, 3)  # (slot, error, enough)
+                info["n_candidates"] = int(p[DET_N_CAND])
+                info["candidate"] = int(top[0, 0])
+                enough = [int(s) for (s, e, ok) in top if ok > 0 and s >= 0]
+                if enough:
+                    ms, info = self._verify_and_correct(
+                        ms, kf_slot, enough, info
+                    )
+                else:
+                    info["pending"] = True
+            infos.append(info)
+        return ms, infos
+
+    def _verify_and_correct(self, ms, kf_slot: int, enough, info):
+        """Sim3 verification of consistency-approved candidates (best
+        first), then the full correction chain on acceptance. Runs on the
+        CURRENT map state — corrections are pure functions applied to the
+        live state, never merged from a stale snapshot, which is what makes
+        the reference's post-GBA spanning-tree propagation for KFs created
+        meanwhile (LoopClosing.cc:585-678) unnecessary by construction:
+        keyframes added since dispatch are corrected like any other member
+        of the covisible group / essential graph."""
+        if not bool(ms.kf_valid[kf_slot]):
+            info["stale"] = True  # the keyframe was culled since dispatch
             return ms, info
-
-        # all candidates within 1.5x of the best error (LoopClosing.cc:146)
-        errors = np.asarray(cand.errors)
-        best_err = float(errors[int(cand.cand_kf)])
-        cand_slots = np.flatnonzero(
-            (errors <= 1.5 * best_err) & (errors < LOOP_ALIGN_MAX_ERROR)
-        )
-        covis_np = np.asarray(covis)
-
-        # covisibility-group consistency (LoopClosing.cc:152-218)
-        new_groups: list = []
-        enough: list = []
-        group_used = [False] * len(self._consistent_groups)
-        for slot in cand_slots:
-            group = frozenset(
-                np.flatnonzero(covis_np[slot] > 0).tolist() + [int(slot)]
-            )
-            consistent_count = 0
-            for gi, (prev_group, prev_count) in enumerate(
-                self._consistent_groups
-            ):
-                if group & prev_group:
-                    consistent_count = max(consistent_count, prev_count + 1)
-                    group_used[gi] = True
-            new_groups.append((group, consistent_count))
-            if consistent_count + 1 >= self.consistency_th:
-                enough.append(int(slot))
-        self._consistent_groups = new_groups
-        info["n_candidates"] = len(cand_slots)
-        if not enough:
-            info["pending"] = True
-            return ms, info
-
-        # verify consistent candidates best-error-first until one accepts
-        enough.sort(key=lambda s: errors[s])
+        covis = M.covisibility(ms)  # fresh: verification gates + correction
         for cand_slot in enough:
+            if not bool(ms.kf_valid[cand_slot]):
+                continue
             self._seed += 1
             ver = verify_loop_sim3(
                 self.cam, ms, jnp.asarray(kf_slot), jnp.asarray(cand_slot),
@@ -396,7 +526,20 @@ class LoopCloser:
         )
         ms = M.finalize_point_statistics(ms, self.scale_factor, self.n_levels)
         if self.run_gba:
+            # dispatched asynchronously: global_ba is a pure device program
+            # on the live map state; the host does NOT wait for it (the
+            # reference runs GBA on a 4th thread, LoopClosing.cc:527)
             ms = ba.global_ba(self.cam, ms, scale_factor=self.scale_factor)
         info["corrected"] = True
-        self._consistent_groups = []
+        self._cons = None  # clear consistency history after a closure
         return ms, info
+
+    # -- synchronous API (tests / offline) ------------------------------------
+
+    def process_keyframe(self, ms: M.MapState, kf_slot: int):
+        """Dispatch + immediately drain (the round-1 synchronous behavior).
+
+        Returns (ms, info dict of this keyframe's outcome)."""
+        self.dispatch_keyframe(ms, kf_slot)
+        ms, infos = self.poll(ms, force=True)
+        return ms, infos[-1] if infos else {}

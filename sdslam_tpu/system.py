@@ -115,20 +115,35 @@ class SDSlamSystem:
     def _after_frame(self):
         if self.localization_only:
             return
-        # new-KF events surface through the tracker's async readback queue —
-        # loop closing runs a few frames after the keyframe, exactly like the
-        # reference's decoupled LoopClosing thread (LoopClosing.cc:61-87)
+        # new-KF events surface through the tracker's async readback queue;
+        # detection+consistency dispatches WITHOUT host sync and its result
+        # drains a couple of keyframes later — loop closing never stalls the
+        # frame loop (the reference decouples with the LoopClosing thread,
+        # LoopClosing.cc:61-87; verification/correction still run inline on
+        # the rare consistency hit)
         if not self.loop_closing_enabled:
             self.tracker.kf_events.clear()
             return
         while self.tracker.kf_events:
             slot = self.tracker.kf_events.pop(0)
-            self.tracker.ms, info = self.loop_closer.process_keyframe(
-                self.tracker.ms, slot
-            )
+            self.loop_closer.dispatch_keyframe(self.tracker.ms, slot)
+        self.tracker.ms, infos = self.loop_closer.poll(self.tracker.ms)
+        for info in infos:
             if info.get("corrected"):
                 # tracking state must follow the corrected map
-                self.tracker.reset_reference(slot)
+                self.tracker.reset_reference(info["kf"])
+
+    def finish(self):
+        """Drain every in-flight frame AND loop-closing detection (call at
+        end of a sequence before reading trajectories/maps)."""
+        self.tracker.flush()
+        if self.loop_closing_enabled and not self.localization_only:
+            self.tracker.ms, infos = self.loop_closer.poll(
+                self.tracker.ms, force=True
+            )
+            for info in infos:
+                if info.get("corrected"):
+                    self.tracker.reset_reference(info["kf"])
 
     # ------------------------------------------------------------------
     # modes / reset / state (System.cc:236-276)

@@ -133,3 +133,45 @@ def test_no_false_loop_on_novel_view():
         scale_factor=2.0, n_levels=4, min_frame_gap=50,
     )
     assert not bool(cand.found)
+
+
+def test_async_loop_closer_consistency_chain():
+    """The full async orchestration (dispatch_keyframe / poll): three
+    consecutive revisit keyframes build the on-device consistency chain
+    (th=3, LoopClosing.cc:49), detections drain a couple of keyframes late,
+    and the third consistent detection triggers verification + correction
+    (the reference's decoupled-thread behavior re-expressed as the async
+    result queue)."""
+    t, seq, cfg = build_tracked_map()
+    drift = np.asarray(
+        lie.se3_exp(jnp.asarray(
+            np.array([0.05, -0.03, 0.04, 0.01, -0.02, 0.01], np.float32)))
+    )
+    closer = LC.LoopCloser(
+        cam=t.cam, scale_factor=2.0, n_levels=4, fix_scale=True,
+        run_gba=False, min_frame_gap=50,
+    )
+    true_pose0 = np.asarray(seq.poses[0]).astype(np.float32)
+    slots = []
+    for k, fidx in enumerate((0, 1, 0)):
+        wrong = drift @ np.asarray(seq.poses[fidx]).astype(np.float32)
+        slot = _insert_revisit_kf(t, seq, cfg, fidx, wrong,
+                                  fake_frame_id=500 + 10 * k)
+        slots.append(slot)
+        closer.dispatch_keyframe(t.ms, slot)
+    # nothing forced yet: pending detections may or may not have drained
+    t.ms, infos = closer.poll(t.ms, force=True)
+    assert len(infos) + len(closer._pending) == 3
+    corrected = [i for i in infos if i.get("corrected")]
+    assert corrected, infos
+    assert corrected[0]["kf"] == slots[2]
+    # the revisit keyframe's pose error shrank toward ground truth
+    after = np.abs(np.asarray(lie.se3_log(jnp.asarray(
+        np.asarray(t.ms.kf_Tcw[slots[2]]) @ np.linalg.inv(true_pose0)
+    ))))[:3].max()
+    before = np.abs(np.asarray(lie.se3_log(jnp.asarray(
+        drift.astype(np.float32)))))[:3].max()
+    assert after < before * 0.5, (before, after)
+    # persistent loop edge recorded
+    le = np.asarray(t.ms.loop_edges)
+    assert (le[:, 0] == slots[2]).any()
