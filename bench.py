@@ -11,7 +11,7 @@ the reference's workload scale: 640x480, 5 pyramid levels, 1024-keypoint
 budget, real uint8/uint16 camera payloads packed and uploaded per frame.
 
 Methodology notes (hard-won; see CLAUDE.md "environment quirks"):
-  * The timed region uses track_batch — 16 frames per device dispatch via
+  * The timed region uses track_batch — 64 frames per device dispatch via
     lax.scan, exact per-frame semantics (tests/test_odometry.py proves
     trajectory equality with per-frame track()). This is the offline/
     throughput ingestion mode; per-frame track() is the low-latency live
@@ -20,8 +20,11 @@ Methodology notes (hard-won; see CLAUDE.md "environment quirks"):
   * flush() runs INSIDE the timed region: every pose is fetched to host
     before the clock stops, so the number is honest even on tunnel
     backends whose block_until_ready acks early.
-  * One fixed chunk size (16): a variable tail chunk would trigger a scan
-    recompile inside the timed region.
+  * One fixed chunk size: a variable tail chunk would trigger a scan
+    recompile inside the timed region. One chunk per pass = ONE device
+    dispatch + ONE result fetch per timed pass — tunnel backends charge
+    per-fetch (occasionally seconds), so the timed region holds exactly
+    one.
   * Best-of-3 fresh-tracker passes: the device tunnel occasionally stalls
     for seconds on unrelated traffic; throughput is the steady-state rate.
 """
@@ -32,8 +35,8 @@ import time
 import numpy as np
 
 WARMUP = 6  # per-frame init segment (map bootstrap + compile)
-CHUNK = 16
-N_CHUNKS = 4
+CHUNK = 64
+N_CHUNKS = 1
 
 
 def main():

@@ -173,33 +173,40 @@ def main():
         a, b,
     )
     gpair = 1024 * 1024 / dt / 1e9
+    # traffic: [N,M] i32 output + 2x[N,8] u32 inputs; compute: 8 xor+popcnt
+    # +add per pair -> ~24 VPU ops per 4 output bytes (arithmetic intensity
+    # ~6 op/B, so the kernel is compute-leaning; roofline % is the HBM view)
+    ham_bytes = 1024 * 1024 * 4 + 2 * 1024 * 8 * 4
+    ham_gb = ham_bytes / dt / 1e9
     rows.append(("Hamming matrix (1k x 1k, 256-bit)",
-                 f"{dt*1e6:.0f} us = {gpair:.2f} G pair/s",
+                 f"{dt*1e6:.0f} us = {gpair:.2f} G pair/s = {ham_gb:.0f} GB/s",
+                 f"~{min(ham_gb/819*100, 100):.0f}% of v5e HBM roofline, "
                  "8 xor+popcnt+add per pair, on-device timed"))
     blob["hamming_us"] = round(dt * 1e6, 1)
+    blob["hamming_gbps"] = round(ham_gb, 1)
 
     # BA edge kernel: bytes = (27 in + 55 out) * E * 4
     from sdslam_tpu.ops.pallas import ba_edge_kernel as bak
 
     if dev.platform == "tpu":
-        E = 2048 * 10
-        packed = jnp.asarray(np.random.rand(27, E).astype(np.float32))
+        for label, E in (("20k edges", 2048 * 10), ("512k edges", 524288)):
+            packed = jnp.asarray(np.random.rand(27, E).astype(np.float32))
 
-        dt = device_time(
-            lambda i, x: jnp.sum(
-                bak.ba_edge_terms(
-                    x.at[0, 0].set(i.astype(jnp.float32)),
-                    525.0, 525.0, 319.5, 239.5, 40.0, True,
-                )[54]
-            ),
-            packed,
-        )
-        gb = (27 + 55) * E * 4 / dt / 1e9
-        pct = min(gb / 819.0 * 100, 100.0)  # v5e HBM ~819 GB/s
-        rows.append(("BA edge-assembly Pallas kernel (20k edges)",
-                     f"{dt*1e6:.0f} us = {gb:.0f} GB/s",
-                     f"~{pct:.0f}% of v5e HBM roofline, on-device timed"))
-        blob["ba_edge_kernel_gbps"] = round(gb, 1)
+            dt = device_time(
+                lambda i, x: jnp.sum(
+                    bak.ba_edge_terms(
+                        x.at[0, 0].set(i.astype(jnp.float32)),
+                        525.0, 525.0, 319.5, 239.5, 40.0, True,
+                    )[54]
+                ),
+                packed,
+            )
+            gb = (27 + 55) * E * 4 / dt / 1e9
+            pct = min(gb / 819.0 * 100, 100.0)  # v5e HBM ~819 GB/s
+            rows.append((f"BA edge-assembly Pallas kernel ({label})",
+                         f"{dt*1e6:.0f} us = {gb:.0f} GB/s",
+                         f"~{pct:.0f}% of v5e HBM roofline, on-device timed"))
+            blob[f"ba_edge_kernel_gbps_{E}"] = round(gb, 1)
 
     # --- write ----------------------------------------------------------------
     lines = [

@@ -54,7 +54,8 @@ def _align_shard(
             scale_factor=scale_factor, max_level=n_levels - 1,
             min_level=min_level, iters=iters, start_level=store_min_level,
         )
-        return res.T_cur_ref, res.error
+        # vacuous alignments (no alignable points) must not look "perfect"
+        return res.T_cur_ref, jnp.where(res.n_meas >= 50, res.error, jnp.inf)
 
     K_loc = kf_valid.shape[0]
     T_rels, errors = jax.vmap(align_one)(jnp.arange(K_loc))

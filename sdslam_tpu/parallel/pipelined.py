@@ -228,6 +228,7 @@ class PipelinedRGBDTracker(RGBDTracker):
 
     def _drain_one(self):
         idx, packed = self._pending.pop(0)
+        self._wait_ready(packed)
         p = np.asarray(packed)
         n_inl = int(p[PACK_INLIERS])
         pose = p[:16].reshape(4, 4)
@@ -281,7 +282,7 @@ class PipelinedRGBDTracker(RGBDTracker):
         (self.ms, self.dst, packed, T_report, feats, pyramid, d, uright,
          assoc) = self._fused(
             self.ms, self.dst, img_d, dep_d,
-            jnp.asarray(timestamp, jnp.float32),
+            jnp.asarray(self._rel_ts(timestamp), jnp.float32),
             mapping_d, w_imu_d, use_imu_d, th_d,
         )
         self._use_imu = False
@@ -295,7 +296,8 @@ class PipelinedRGBDTracker(RGBDTracker):
         # a tracked frame might be promoted to a keyframe when its packed
         # result drains: retain its tensors (incl. the tracked keypoint ->
         # point associations the mapping pass binds) until then
-        self._retained[idx] = (feats, pyramid, d, uright, timestamp, assoc)
+        self._retained[idx] = (feats, pyramid, d, uright,
+                               self._rel_ts(timestamp), assoc)
         self._pending.append((idx, packed))
         st.last_ts = timestamp
         st.frame_id += 1

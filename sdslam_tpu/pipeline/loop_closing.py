@@ -90,7 +90,8 @@ def detect_loop_candidates(
             iters=15,
             start_level=store_min_level,
         )
-        return res.error
+        # vacuous alignments (no alignable points) must not look "perfect"
+        return jnp.where(res.n_meas >= 50, res.error, jnp.inf)
 
     errors = jax.vmap(align_one)(jnp.arange(K))
     connected = (covis[kf_slot] > 0) | (jnp.arange(K) == kf_slot)
@@ -464,6 +465,8 @@ class LoopCloser:
                 except AttributeError:
                     pass
             kf_slot, packed = self._pending.pop(0)
+            from sdslam_tpu.pipeline.tracking import RGBDTracker
+            RGBDTracker._wait_ready(packed)
             p = np.asarray(packed)
             info = {"kf": kf_slot, "detected": bool(p[DET_FOUND])}
             if p[DET_FOUND]:

@@ -101,7 +101,10 @@ def relocalize(
             iters=15,
             start_level=store_min_level,
         )
-        return res.T_cur_ref, res.error
+        # a keyframe with (almost) no alignable points yields a vacuous
+        # 0/0 -> 0 "perfect" error; it must rank LAST, not first
+        err = jnp.where(res.n_meas >= 50, res.error, jnp.inf)
+        return res.T_cur_ref, err
 
     T_rels, errors = jax.vmap(align_one)(jnp.arange(K))
     errors = jnp.where(ms.kf_valid, errors, jnp.inf)

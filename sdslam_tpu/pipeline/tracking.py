@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -541,10 +542,21 @@ class RGBDTracker:
         self._w_imu = np.zeros(3, np.float32)
         self._use_imu = False
         self._reloc_boost_until = -1  # frame id bound for the th=5 window
+        # device timestamps are RELATIVE to the first frame: TUM/EuRoC use
+        # unix-epoch stamps (~1.7e9 s) whose float32 resolution is ~128 s —
+        # packing them raw destroys every on-device dt (EKF prediction)
+        self._t0: Optional[float] = None
         self._flags_host = None
         self._flags_dev = None
         self._fused_packed = None  # set by _build_fused when supported
         self._fused = self._build_fused()
+
+    def _rel_ts(self, timestamp: float) -> float:
+        """Device-bound timestamp, relative to the tracker's first frame
+        (float32-safe for unix-epoch dataset stamps)."""
+        if self._t0 is None:
+            self._t0 = float(timestamp)
+        return float(timestamp) - self._t0
 
     # -- fused per-frame device program ------------------------------------
 
@@ -665,8 +677,21 @@ class RGBDTracker:
 
     # -- async readback ------------------------------------------------------
 
+    @staticmethod
+    def _wait_ready(x, poll_s: float = 0.002):
+        """Sleep-poll until a device value is computed before fetching it:
+        some tunnel backends back off for SECONDS when asked to fetch a
+        result that is still executing (measured 6.4 s per tiny fetch),
+        while a fetch after completion costs one cheap round trip."""
+        try:
+            while not x.is_ready():
+                time.sleep(poll_s)
+        except AttributeError:
+            pass  # backend without is_ready
+
     def _drain_one(self):
         idx, packed = self._pending.pop(0)
+        self._wait_ready(packed)
         p = np.asarray(packed)  # [PACK_LEN] or [B, PACK_LEN] (track_batch)
         rows = p[None] if p.ndim == 1 else p
         for b, row in enumerate(rows):
@@ -689,7 +714,9 @@ class RGBDTracker:
             self._pending.insert(0, singles[0])
             self._drain_one()
         elif singles:
-            stacked = np.asarray(jnp.stack([p for _, p in singles]))
+            stacked_d = jnp.stack([p for _, p in singles])
+            self._wait_ready(stacked_d)
+            stacked = np.asarray(stacked_d)
             for (idx, _), row in zip(singles, stacked):
                 self._apply_packed_row(idx, row)
         if k > 0 and self._pending:
@@ -760,7 +787,8 @@ class RGBDTracker:
             self.cam, self.ms, slot, frame.Tcw,
             f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
             frame.depth, frame.uright, assoc, self._stored_pyr(frame),
-            jnp.asarray(self.st.frame_id, jnp.int32), jnp.asarray(timestamp, jnp.float32),
+            jnp.asarray(self.st.frame_id, jnp.int32),
+            jnp.asarray(self._rel_ts(timestamp), jnp.float32),
             jnp.asarray(-1, jnp.int32),
             scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
         )
@@ -788,7 +816,7 @@ class RGBDTracker:
             frames_since_kf=jnp.asarray(0, jnp.int32),
             ref_kf_inliers=jnp.asarray(self.st.ref_kf_inliers, jnp.int32),
             frame_id=jnp.asarray(self.st.frame_id, jnp.int32),
-            last_ts=jnp.asarray(timestamp, jnp.float32),
+            last_ts=jnp.asarray(self._rel_ts(timestamp), jnp.float32),
         )
 
     def track(self, img, depth_img, timestamp: float):
@@ -835,7 +863,7 @@ class RGBDTracker:
             and img.dtype == np.uint8
             and depth_img.dtype == np.uint16
         ):
-            buf = pack_frame(img, depth_img, timestamp)
+            buf = pack_frame(img, depth_img, self._rel_ts(timestamp))
             self.ms, self.dst, packed, T_report, feats, pyramid, d, uright = (
                 self._fused_packed(
                     self.ms, self.dst, jnp.asarray(buf),
@@ -848,7 +876,7 @@ class RGBDTracker:
             self.ms, self.dst, packed, T_report, feats, pyramid, d, uright = (
                 self._fused(
                     self.ms, self.dst, img_d, dep_d,
-                    jnp.asarray(timestamp, jnp.float32),
+                    jnp.asarray(self._rel_ts(timestamp), jnp.float32),
                     mapping_d, w_imu_d, use_imu_d, th_d,
                 )
             )
@@ -930,7 +958,7 @@ class RGBDTracker:
         B = len(rest)
         H, W = self.cam.height, self.cam.width
         bufs = np.stack(
-            [pack_frame(img, dep, ts) for (img, dep, ts) in rest]
+            [pack_frame(img, dep, self._rel_ts(ts)) for (img, dep, ts) in rest]
         )
         flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
                  self.TH_RADIUS)
@@ -1057,7 +1085,8 @@ class MonoTracker(RGBDTracker):
             f.uv, f.uv_und, f.octave, f.angle, f.desc, f.valid,
             frame.depth, frame.uright, assoc, self._stored_pyr(frame),
             jnp.asarray(self.st.frame_id, jnp.int32),
-            jnp.asarray(timestamp, jnp.float32), jnp.asarray(-1, jnp.int32),
+            jnp.asarray(self._rel_ts(timestamp), jnp.float32),
+            jnp.asarray(-1, jnp.int32),
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
         )
@@ -1131,7 +1160,7 @@ class MonoTracker(RGBDTracker):
             fr0.depth, fr0.uright, jnp.full((f0.capacity,), -1, jnp.int32),
             self._stored_pyr(fr0),
             jnp.asarray(self.st.frame_id - 1, jnp.int32),
-            jnp.asarray(self._init_ts, jnp.float32),
+            jnp.asarray(self._rel_ts(self._init_ts), jnp.float32),
             jnp.asarray(-1, jnp.int32),
             scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
         )
@@ -1143,7 +1172,7 @@ class MonoTracker(RGBDTracker):
             frame.depth, frame.uright, jnp.full((f.capacity,), -1, jnp.int32),
             self._stored_pyr(frame),
             jnp.asarray(self.st.frame_id, jnp.int32),
-            jnp.asarray(timestamp, jnp.float32),
+            jnp.asarray(self._rel_ts(timestamp), jnp.float32),
             jnp.asarray(slot1, jnp.int32),
             scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
         )

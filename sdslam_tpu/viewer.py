@@ -135,3 +135,102 @@ def detect_plane(points: np.ndarray, n_iters: int = 200, th: float = 0.02, seed:
     d = float(n @ centroid)
     dist = np.abs(pts @ n - d)
     return n.astype(np.float32), d, dist < th
+
+
+def status_text(state: str, n_kfs: int, n_pts: int, n_matches: int,
+                localization_only: bool = False) -> str:
+    """Compose the reference UI's status line (FrameDrawer::DrawTextInfo,
+    FrameDrawer.cc:104): mode + state + map statistics."""
+    if state == "NOT_INITIALIZED":
+        return "TRYING TO INITIALIZE"
+    if state == "LOST":
+        return "TRACK LOST. TRYING TO RELOCALIZE"
+    mode = "LOCALIZATION | " if localization_only else "SLAM MODE | "
+    return (f"{mode}KFs: {n_kfs}, MPs: {n_pts}, Matches: {n_matches}")
+
+
+def _plane_frame(plane, points=None):
+    """Orthonormal frame anchored on a detected plane: origin = inlier
+    centroid projected to the plane, e1/e2 spanning it."""
+    n, d, inl = plane
+    n = np.asarray(n, np.float64)
+    if points is not None and np.asarray(inl).sum() >= 3:
+        c = np.asarray(points, np.float64)[np.asarray(inl)].mean(0)
+    else:
+        c = n * d
+    origin = c - (n @ c - d) * n  # project onto plane
+    ref = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+    e1 = np.cross(n, ref)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(n, e1)
+    return origin, e1, e2, n
+
+
+def draw_ar(
+    img,
+    cam,
+    Tcw,
+    plane,
+    points=None,
+    cube_size: float = 0.1,
+    grid_half: int = 3,
+    path: Optional[str] = None,
+):
+    """AR overlay: a virtual cube standing on the detected plane plus a
+    plane grid, projected into the current frame (FrameDrawer::DrawCube
+    FrameDrawer.cc:364 / DrawPlane :372 — GL replaced by a headless
+    projective render)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    origin, e1, e2, n = _plane_frame(plane, points)
+    R = np.asarray(Tcw)[:3, :3]
+    t = np.asarray(Tcw)[:3, 3]
+
+    def project(X):
+        Xc = X @ R.T + t
+        z = np.maximum(Xc[:, 2], 1e-6)
+        return np.stack(
+            [cam.fx * Xc[:, 0] / z + cam.cx, cam.fy * Xc[:, 1] / z + cam.cy],
+            axis=1,
+        ), Xc[:, 2] > 0.05
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(np.asarray(img), cmap="gray", vmin=0, vmax=255)
+    # plane grid
+    s = cube_size
+    for i in range(-grid_half, grid_half + 1):
+        for (a, b) in (
+            (origin + i * s * e1 - grid_half * s * e2,
+             origin + i * s * e1 + grid_half * s * e2),
+            (origin + i * s * e2 - grid_half * s * e1,
+             origin + i * s * e2 + grid_half * s * e1),
+        ):
+            uv, ok = project(np.stack([a, b]))
+            if ok.all():
+                ax.plot(uv[:, 0], uv[:, 1], c="#1f77b4", lw=0.8, alpha=0.7)
+    # cube: base on the plane, extruded along -n (toward the camera side)
+    up = -n * s
+    base = [origin + sx * s / 2 * e1 + sy * s / 2 * e2
+            for (sx, sy) in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+    top = [b + up for b in base]
+    corners = np.stack(base + top)
+    uv, ok = project(corners)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    for (a, b) in edges:
+        if ok[a] and ok[b]:
+            ax.plot(uv[[a, b], 0], uv[[a, b], 1], c="#2ca02c", lw=1.6)
+    ax.axis("off")
+    ax.set_xlim(0, np.asarray(img).shape[1])
+    ax.set_ylim(np.asarray(img).shape[0], 0)
+    if path:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    fig.canvas.draw()
+    arr = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return arr

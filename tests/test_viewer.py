@@ -55,3 +55,30 @@ def test_draw_map_and_frame(tmp_path, rng):
     # array-return mode
     arr = viewer.draw_map(t.ms)
     assert arr.ndim == 3 and arr.shape[2] == 3
+
+
+def test_status_text():
+    assert viewer.status_text("NOT_INITIALIZED", 0, 0, 0) == "TRYING TO INITIALIZE"
+    assert "RELOCALIZE" in viewer.status_text("LOST", 5, 100, 0)
+    s = viewer.status_text("OK", 7, 420, 55)
+    assert "SLAM MODE" in s and "KFs: 7" in s and "MPs: 420" in s
+    assert viewer.status_text("OK", 7, 420, 55, localization_only=True).startswith(
+        "LOCALIZATION")
+
+
+def test_draw_ar(tmp_path, rng):
+    from sdslam_tpu.geometry.camera import CameraModel
+
+    cam = CameraModel(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
+                      width=320, height=240, bf=32.0)
+    # synthetic floor plane y = 0.5 (y down), camera at origin looking +z
+    pts = rng.uniform([-1, 0.5, 1.0], [1, 0.5, 3.0], size=(200, 3))
+    pts[:, 1] += rng.normal(size=200) * 0.002
+    plane = viewer.detect_plane(pts)
+    assert plane is not None
+    img = np.full((240, 320), 128, np.uint8)
+    p = str(tmp_path / "ar.png")
+    viewer.draw_ar(img, cam, np.eye(4), plane, points=pts, path=p)
+    assert os.path.getsize(p) > 10000
+    arr = viewer.draw_ar(img, cam, np.eye(4), plane, points=pts)
+    assert arr.ndim == 3
