@@ -72,5 +72,51 @@ def main():
               f"{bytes_/dt/1e9:.0f} GB/s ({bytes_/dt/1e9/819*100:.0f}% roofline)")
 
 
+
+
+def bench_align():
+    """Time the production XLA image-alignment path at tracking shapes:
+    the north-star patch-warp kernel can only save a fraction of this."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sdslam_tpu.solvers import image_align
+
+    H, W = 480, 640
+    lvl_shapes = [(H >> l, W >> l) for l in range(5)]
+    rng = np.random.default_rng(0)
+    pyr_ref = tuple(jnp.asarray(rng.random(s, np.float32) * 255) for s in lvl_shapes[2:])
+    pyr_cur = tuple(jnp.asarray(rng.random(s, np.float32) * 255) for s in lvl_shapes[2:])
+    N = 1024
+    uv = jnp.asarray(rng.uniform([8, 8], [W - 8, H - 8], (N, 2)).astype(np.float32))
+    X = jnp.asarray(
+        np.concatenate([rng.uniform(-1, 1, (N, 2)), rng.uniform(1, 3, (N, 1))], 1
+                       ).astype(np.float32))
+    valid = jnp.ones((N,), bool)
+
+    def one(i, T0):
+        res = image_align.align(
+            pyr_ref, pyr_cur, uv, X, valid, T0,
+            525.0, 525.0, 319.5, 239.5,
+            scale_factor=2.0, max_level=4, min_level=2, start_level=2,
+        )
+        return res.T_cur_ref
+
+    f = jax.jit(lambda T: lax.fori_loop(0, 20, one, T))
+    import time
+    T = jnp.eye(4)
+    np.asarray(f(T))
+    t0 = time.perf_counter()
+    np.asarray(f(T))
+    dt = (time.perf_counter() - t0) / 20
+    print(f"full per-frame alignment (3 levels, <=30 iters, 1024 pts): "
+          f"{dt*1e3:.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "align":
+        bench_align()
+    else:
+        main()

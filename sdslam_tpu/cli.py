@@ -13,6 +13,7 @@ Each run prints per-frame state and writes trajectory.txt (TUM format).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -27,10 +28,19 @@ def _common(sub):
                      "(PNG folder next to it)")
     sub.add_argument("--load-trajectory-yaml", default=None, metavar="YAML")
     sub.add_argument("--localization-only", action="store_true")
+    sub.add_argument("--no-loop-closing", action="store_true")
     sub.add_argument("--max-frames", type=int, default=None)
 
 
 def main(argv=None):
+    import jax
+
+    # persistent compile cache: the CLI's big fused programs take minutes
+    # to build from scratch on small hosts; cached reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SDSLAM_JAX_CACHE", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     ap = argparse.ArgumentParser(prog="sdslam_tpu")
     sp = ap.add_subparsers(dest="cmd", required=True)
     for name in ("monocular", "rgbd", "fusion"):
@@ -84,9 +94,14 @@ def main(argv=None):
         elif args.cmd == "rgbd":
             from sdslam_tpu.io.datasets import TUMRGBDDataset
 
-            sysm = SDSlamSystem(cfg, sensor=RGBD)
+            sysm = SDSlamSystem(cfg, sensor=RGBD,
+                                loop_closing=not args.no_loop_closing)
             ds = TUMRGBDDataset(args.data, depth_factor=cfg.tracking.depth_map_factor or 5000.0)
-            frames = iter(ds)
+            # RAW u8/u16 payloads (native prefetch decode): the tracker
+            # applies DepthMapFactor on device, exactly like the reference
+            # scales ImDepth inside GrabImageRGBD (Tracking.cc:146-152) —
+            # feeding pre-scaled meters here would double-divide
+            frames = ds.prefetch_iter(raw=True)
         else:
             from sdslam_tpu.io.datasets import EuRoCDataset
 
@@ -141,8 +156,6 @@ def main(argv=None):
         sysm.save_map(args.save_map)
         print(f"saved map checkpoint {args.save_map}")
     if args.save_trajectory_yaml:
-        import os
-
         folder = os.path.splitext(args.save_trajectory_yaml)[0] + "_images"
         sysm.save_trajectory(args.save_trajectory_yaml, folder)
         print(f"saved reference-format map {args.save_trajectory_yaml}")
@@ -154,7 +167,6 @@ def _run_calibration(args):
     estimated intrinsics as a reference-format YAML
     (Examples/Calibration/calibration.cc)."""
     import glob
-    import os
 
     import numpy as np
     from PIL import Image

@@ -157,11 +157,19 @@ def load_config(path: Optional[str] = None, **overrides) -> SystemConfig:
             use_pattern=bool(g("UsePattern", 0)),
             max_frames=int(round(cam.fps)) if cam.fps > 0 else 30,
         )
+        # pool capacities (extension keys — the reference's map grows
+        # unbounded; fixed-capacity pools need explicit sizing)
+        map_cfg = MapConfig(
+            max_keyframes=int(g("Map.MaxKeyframes", cfg.map.max_keyframes)),
+            max_points=int(g("Map.MaxPoints", cfg.map.max_points)),
+            max_kps_per_frame=orb.max_keypoints,
+        )
         cfg = dataclasses.replace(
             cfg,
             camera=cam,
             orb=orb,
             tracking=tracking,
+            map=map_cfg,
             camera_topic=str(g("ROS.CameraTopic", cfg.camera_topic)),
             depth_topic=str(g("ROS.DepthTopic", cfg.depth_topic)),
             imu_topic=str(g("ROS.IMUTopic", cfg.imu_topic)),

@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite's dominant cost is XLA compiles of
+# the big fused tracker programs; caching them makes reruns fast (keyed by
+# HLO hash, so code changes invalidate exactly what they touch)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -50,8 +50,12 @@ def test_tum_fr1_ate():
     sysm = SDSlamSystem(cfg, sensor=RGBD, loop_closing=True)
     stamps = []
     n = min(len(ds), 300)
-    for i in range(n):
-        ts, img, depth = ds.frame(i)
+    # raw u16 depth counts: the tracker applies DepthMapFactor on device
+    # (feeding the loader's meters would double-divide)
+    it = ds.prefetch_iter(raw=True)
+    for i, (ts, img, depth) in enumerate(it):
+        if i >= n:
+            break
         sysm.track_rgbd(img, depth, ts)
         stamps.append(ts)
     sysm.tracker.flush()
