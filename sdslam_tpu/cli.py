@@ -35,6 +35,12 @@ def _common(sub):
 def main(argv=None):
     import jax
 
+    # make JAX_PLATFORMS authoritative: the axon sitecustomize registers
+    # the TPU plugin and overrides the env var, so a subprocess launched
+    # with JAX_PLATFORMS=cpu would silently grab the (shared) TPU unless
+    # the config is asserted here too
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # persistent compile cache: the CLI's big fused programs take minutes
     # to build from scratch on small hosts; cached reruns start in seconds
     jax.config.update("jax_compilation_cache_dir",
@@ -88,7 +94,8 @@ def main(argv=None):
         if args.cmd == "monocular":
             from sdslam_tpu.io.datasets import TUMMonoDataset
 
-            sysm = SDSlamSystem(cfg, sensor=MONOCULAR)
+            sysm = SDSlamSystem(cfg, sensor=MONOCULAR,
+                                loop_closing=not args.no_loop_closing)
             ds = TUMMonoDataset(args.data)
             frames = ((ts, img, None) for ts, img in ds)
         elif args.cmd == "rgbd":
@@ -105,7 +112,8 @@ def main(argv=None):
         else:
             from sdslam_tpu.io.datasets import EuRoCDataset
 
-            sysm = SDSlamSystem(cfg, sensor=MONOCULAR_IMU)
+            sysm = SDSlamSystem(cfg, sensor=MONOCULAR_IMU,
+                                loop_closing=not args.no_loop_closing)
             ds = EuRoCDataset(args.data)
 
             def gen():

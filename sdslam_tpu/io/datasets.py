@@ -232,6 +232,47 @@ class EuRoCDataset:
             yield self.frame(i)
 
 
+def write_euroc_sequence(root: str, frames, imu_rows=None):
+    """Write a EuRoC-MAV-format sequence to disk: mav0/cam0/data.csv +
+    mav0/cam0/data/*.png (8-bit gray, nanosecond-stamp filenames) and
+    optionally mav0/imu0/data.csv (timestamp_ns, gx gy gz, ax ay az).
+
+    Exporter counterpart of EuRoCDataset, for the same reason as
+    write_tum_sequence: the real dataset path (CSV parsing, ns timestamps,
+    PNG decode, IMU association) is testable without downloading EuRoC
+    (reference validates on MH sequences, /root/reference/README.md:54-58).
+
+    frames: iterable of (timestamp_s, img float/uint8 [H,W]).
+    imu_rows: optional iterable of (timestamp_s, [gx gy gz ax ay az]).
+    """
+    from PIL import Image
+
+    cam_dir = os.path.join(root, "mav0", "cam0", "data")
+    os.makedirs(cam_dir, exist_ok=True)
+    lines = ["#timestamp [ns],filename"]
+    for ts, img in frames:
+        ns = int(round(ts * 1e9))
+        name = f"{ns}.png"
+        img8 = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        Image.fromarray(img8, mode="L").save(os.path.join(cam_dir, name))
+        lines.append(f"{ns},{name}")
+    with open(os.path.join(root, "mav0", "cam0", "data.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    if imu_rows is not None:
+        imu_dir = os.path.join(root, "mav0", "imu0")
+        os.makedirs(imu_dir, exist_ok=True)
+        lines = [
+            "#timestamp [ns],w_RS_S_x [rad s^-1],w_RS_S_y [rad s^-1],"
+            "w_RS_S_z [rad s^-1],a_RS_S_x [m s^-2],a_RS_S_y [m s^-2],"
+            "a_RS_S_z [m s^-2]"
+        ]
+        for ts, vals in imu_rows:
+            ns = int(round(ts * 1e9))
+            lines.append(f"{ns}," + ",".join(f"{v:.9f}" for v in vals))
+        with open(os.path.join(imu_dir, "data.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
 def write_tum_sequence(root: str, frames, poses_Tcw, depth_factor: float = 5000.0):
     """Write a TUM-RGB-D-format sequence to disk: rgb/*.png (8-bit gray),
     depth/*.png (16-bit, TUM 5000-counts-per-meter convention), rgb.txt,

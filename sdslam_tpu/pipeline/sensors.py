@@ -61,7 +61,12 @@ def ekf_init(T0=None) -> EKFState:
     return EKFState(
         x=jnp.zeros(6, jnp.float32),
         P=jnp.eye(6, dtype=jnp.float32) * 1e2,
-        last_pose=jnp.asarray(T0, jnp.float32) if has else jnp.eye(4, jnp.float32),
+        # COPY the seed pose: EKFState lives in the donated DeviceState
+        # pytree, so aliasing a caller-held array here would let the first
+        # donated tracker step delete the caller's reference out from under
+        # it ("Array has been deleted" on the next host read)
+        last_pose=(jnp.array(T0, jnp.float32, copy=True) if has
+                   else jnp.eye(4, jnp.float32)),
         started=jnp.asarray(False),
         has_pose=jnp.asarray(has),
     )

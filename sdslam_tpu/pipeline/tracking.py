@@ -763,7 +763,9 @@ class RGBDTracker:
         self.flush()
         T = jnp.asarray(Tcw) if Tcw is not None else self.ms.kf_Tcw[slot]
         self.st.last_kf_slot = int(slot)
-        self.st.T_last = T
+        # host state holds HOST values: a device array here could alias the
+        # donated DeviceState pytree and be deleted by the next tracker step
+        self.st.T_last = np.asarray(T)
         if self.dst is not None:
             self.dst = self.dst._replace(
                 ekf=sensors.ekf_init(T),
@@ -800,7 +802,7 @@ class RGBDTracker:
         # last-frame assoc: keypoints bound to the points just created
         self.st.last_assoc = self.ms.kf_mp[slot]
         self.st.last_kf_slot = slot
-        self.st.T_last = frame.Tcw
+        self.st.T_last = np.asarray(frame.Tcw)
         self.st.velocity = jnp.eye(4)
         self.st.last_ts = timestamp
         self.st.last_frame = frame
@@ -939,11 +941,32 @@ class RGBDTracker:
             self._fused_scan_cache[B] = jax.jit(scan_fn, donate_argnums=(0, 1))
         return self._fused_scan_cache[B]
 
-    def track_batch(self, items):
+    def upload_batch(self, items):
+        """Pack a chunk's frames and START their host->device transfer now.
+        Returns a handle for `track_batch(..., uploaded=handle)`.
+
+        Double-buffering hook for bandwidth-bound links: device transfers
+        are asynchronous, so uploading chunk k+1 while the device still
+        scans chunk k overlaps transfer with compute — on tunnel modes
+        where H2D bandwidth (not the chip) bounds throughput, this is the
+        difference between sum and max of the two costs."""
+        items = list(items)
+        bufs = np.stack(
+            [pack_frame(img, dep, self._rel_ts(ts)) for (img, dep, ts) in items]
+        )
+        return (jnp.asarray(bufs), items)
+
+    def track_batch(self, items, uploaded=None):
         """Track a list of (img_u8, depth_u16, timestamp) frames in ONE
         device dispatch (sequential on device, exact per-frame semantics).
         Results drain in one device->host sync per batch. Frames before
-        initialization (or while LOST) fall back to per-frame track()."""
+        initialization (or while LOST) fall back to per-frame track().
+        `uploaded`: a matching handle from upload_batch (device transfer
+        already in flight); ignored if tracking is not in the OK state."""
+        if uploaded is not None and self.st.status == "OK":
+            bufs_dev, items = uploaded
+            rest = list(items)
+            return self._track_batch_scan(rest, bufs_dev)
         items = list(items)
         out_idx = []
         i = 0
@@ -955,11 +978,13 @@ class RGBDTracker:
         rest = items[i:]
         if not rest:
             return out_idx
-        B = len(rest)
-        H, W = self.cam.height, self.cam.width
         bufs = np.stack(
             [pack_frame(img, dep, self._rel_ts(ts)) for (img, dep, ts) in rest]
         )
+        return out_idx + self._track_batch_scan(rest, jnp.asarray(bufs))
+
+    def _track_batch_scan(self, rest, bufs_dev):
+        B = len(rest)
         flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
                  self.TH_RADIUS)
         if flags != self._flags_host:
@@ -972,13 +997,14 @@ class RGBDTracker:
             )
         mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
         self.ms, self.dst, packs, Ts = self._get_fused_scan(B)(
-            self.ms, self.dst, jnp.asarray(bufs),
+            self.ms, self.dst, bufs_dev,
             mapping_d, w_imu_d, use_imu_d, th_d,
         )
         try:
             packs.copy_to_host_async()
         except AttributeError:
             pass
+        out_idx = []
         idx0 = len(self.trajectory)
         for b, (img, dep, ts) in enumerate(rest):
             # placeholder; the drain writes the numpy pose (slicing Ts here
@@ -1024,7 +1050,7 @@ class RGBDTracker:
             st.status = "OK"
             st.last_kf_slot = int(rr.best_kf)
             st.last_assoc = rr.assoc
-            st.T_last = Tcw
+            st.T_last = np.asarray(Tcw)
             st.last_frame = frame
             st.frames_since_kf = 0
             st.ref_kf_inliers = max(int(jnp.sum(rr.assoc >= 0)), 1)
@@ -1100,7 +1126,7 @@ class MonoTracker(RGBDTracker):
         )
         self.st.last_assoc = self.ms.kf_mp[slot]
         self.st.last_kf_slot = slot
-        self.st.T_last = jnp.eye(4)
+        self.st.T_last = np.eye(4, dtype=np.float32)
         self.st.last_ts = timestamp
         self.st.status = "OK"
         self.st.frames_since_kf = 0
@@ -1200,7 +1226,7 @@ class MonoTracker(RGBDTracker):
 
         self.st.last_assoc = self.ms.kf_mp[slot2]
         self.st.last_kf_slot = int(slot2)
-        self.st.T_last = self.ms.kf_Tcw[slot2]
+        self.st.T_last = np.asarray(self.ms.kf_Tcw[slot2])
         self.st.velocity = jnp.eye(4)
         self.st.last_ts = timestamp
         self.st.last_frame = frame

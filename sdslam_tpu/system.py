@@ -238,7 +238,7 @@ class SDSlamSystem:
         self.tracker.flush()
         self.tracker.ms = M.MapState(**fields)
         self.tracker.st.status = "LOST"
-        self.tracker.st.T_last = jnp.eye(4)
+        self.tracker.st.T_last = np.eye(4, dtype=np.float32)
         self.tracker.st.last_kf_slot = int(
             np.flatnonzero(np.asarray(self.tracker.ms.kf_valid))[-1]
         )
