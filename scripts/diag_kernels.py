@@ -35,16 +35,15 @@ def main():
         np.asarray(f(*args))  # fetch: trustworthy in every tunnel mode
         return (time.perf_counter() - t0) / REPS
 
-    for TR in (8, 16, 32, 64):
-        bak.TR = TR
+    for TR in (8, 16, 32, 64, 128):
         for E in (20480, 131072, 524288):
             packed = jnp.asarray(np.random.rand(27, E).astype(np.float32))
             try:
                 dt = device_time(
-                    lambda i, x: jnp.sum(
+                    lambda i, x, tr=TR: jnp.sum(
                         bak.ba_edge_terms(
                             x.at[0, 0].set(i.astype(jnp.float32)),
-                            525.0, 525.0, 319.5, 239.5, 40.0, True,
+                            525.0, 525.0, 319.5, 239.5, 40.0, True, tr=tr,
                         )[54]
                     ),
                     packed,
@@ -103,15 +102,25 @@ def bench_align():
         )
         return res.T_cur_ref
 
-    f = jax.jit(lambda T: lax.fori_loop(0, 20, one, T))
     import time
-    T = jnp.eye(4)
-    np.asarray(f(T))
-    t0 = time.perf_counter()
-    np.asarray(f(T))
-    dt = (time.perf_counter() - t0) / 20
-    print(f"full per-frame alignment (3 levels, <=30 iters, 1024 pts): "
-          f"{dt*1e3:.2f} ms")
+    for kernel_on in (False, True):
+        image_align._ALIGN_KERNEL = kernel_on
+        image_align.align.clear_cache()  # gate is read at trace time
+        f = jax.jit(lambda T: lax.fori_loop(0, 20, one, T))
+        try:
+            T = jnp.eye(4)
+            np.asarray(f(T))
+            t0 = time.perf_counter()
+            np.asarray(f(T))
+            dt = (time.perf_counter() - t0) / 20
+            label = "pallas patch-warp" if kernel_on else "XLA two-hot"
+            print(f"full per-frame alignment, {label} "
+                  f"(3 levels, <=30 iters, 1024 pts): {dt*1e3:.2f} ms")
+        except Exception as e:
+            print(f"kernel_on={kernel_on}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+    image_align._ALIGN_KERNEL = False
+    image_align.align.clear_cache()
 
 
 if __name__ == "__main__":

@@ -144,7 +144,9 @@ def _kernel(fx, fy, cx, cy, bf, use_huber, in_ref, out_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf", "use_huber", "interpret")
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "bf", "use_huber", "interpret",
+                     "tr"),
 )
 def ba_edge_terms(
     packed,  # [27, E] f32 channel-major per-edge inputs
@@ -155,13 +157,14 @@ def ba_edge_terms(
     bf: float,
     use_huber: bool,
     interpret: bool = False,
+    tr: int = TR,
 ):
     """Returns [55, E] f32 per-edge outputs (see module docstring for the
-    channel map). E is padded internally to a TR*128 multiple; padded edges
-    must carry mask channel 24 == 0."""
+    channel map). E is padded internally to a tr*128 multiple; padded edges
+    must carry mask channel 24 == 0. `tr` = sublanes per grid step."""
     C, E = packed.shape
     assert C == N_IN
-    tile = TR * LANES
+    tile = tr * LANES
     pad = (-E) % tile
     if pad:
         packed = jnp.concatenate([packed, jnp.zeros((C, pad), packed.dtype)], 1)
@@ -171,12 +174,12 @@ def ba_edge_terms(
     out = pl.pallas_call(
         functools.partial(_kernel, fx, fy, cx, cy, bf, use_huber),
         out_shape=jax.ShapeDtypeStruct((N_OUT, R, LANES), jnp.float32),
-        grid=(R // TR,),
+        grid=(R // tr,),
         in_specs=[
-            pl.BlockSpec((N_IN, TR, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((N_IN, tr, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N_OUT, TR, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((N_OUT, tr, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x)

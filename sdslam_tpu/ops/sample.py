@@ -80,6 +80,55 @@ def sample_bilinear(img, uv, precision=_HI):
     return out.reshape(shp), valid.reshape(shp)
 
 
+def sample_bilinear_patch(img, uv_center, patch_half=2, precision=_HI):
+    """Bilinear-sample a (2*patch_half)^2 patch of INTEGER offsets around
+    each center: exploits floor(u + d) = floor(u) + d for integer d, so all
+    patch taps share one fractional weight and the row matmul shrinks from
+    [16N, H] @ [H, W] to 2*patch_half shifted two-hot [N, H] @ [H, W]
+    matmuls (4x less MXU work for the aligner's 4x4 patches).
+
+    Returns (values [N, P*P], valid [N, P*P]) in dy-outer/dx-inner order,
+    exactly matching sample_bilinear on uv_center + integer offsets.
+    """
+    H, W = img.shape
+    P = 2 * patch_half
+    x = uv_center[:, 0]
+    y = uv_center[:, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0c = jnp.clip(x0i, 0, W - 2)
+    y0c = jnp.clip(y0i, 0, H - 2)
+
+    rows = [
+        jnp.matmul(
+            _row_weights_linear(y0c, wy, H, shift=pr - patch_half),
+            img, precision=precision,
+        )
+        for pr in range(P)
+    ]  # P x [N, W], y-interpolated at row offset pr-patch_half
+    cols = [
+        _row_weights_linear(x0c, wx, W, shift=pc - patch_half)
+        for pc in range(P)
+    ]
+    vals = []
+    valid = []
+    for pr in range(P):
+        yok = (y0i + (pr - patch_half) >= 0) & (y0i + (pr - patch_half) < H - 1)
+        for pc in range(P):
+            vals.append(jnp.sum(rows[pr] * cols[pc], axis=-1))
+            xok = (x0i + (pc - patch_half) >= 0) & (
+                x0i + (pc - patch_half) < W - 1
+            )
+            valid.append(xok & yok)
+    out = jnp.stack(vals, axis=1)
+    ok = jnp.stack(valid, axis=1)
+    return jnp.where(ok, out, 0.0), ok
+
+
 def sample_bilinear_with_grad(img, uv, precision=_HI):
     """Bilinear value + central-difference gradient, one extra matmul.
 

@@ -179,7 +179,9 @@ def test_track_batch_matches_per_frame():
     tr2 = RGBDTracker(cfg)
     items = [(i, d, t) for (t, i, d) in frames]
     tr2.track_batch(items[:5])   # includes init fallback + first scan
-    tr2.track_batch(items[5:])
+    # second chunk through the double-buffered upload handle (bench path)
+    up = tr2.upload_batch(items[5:])
+    tr2.track_batch(items[5:], uploaded=up)
     tr2.flush()
     a = np.stack([np.asarray(p) for p in tr1.trajectory])
     b = np.stack([np.asarray(p) for p in tr2.trajectory])
