@@ -30,6 +30,10 @@ def _common(sub):
     sub.add_argument("--localization-only", action="store_true")
     sub.add_argument("--no-loop-closing", action="store_true")
     sub.add_argument("--max-frames", type=int, default=None)
+    # live web viewer (the Pangolin-window equivalent, viewer_server.py)
+    sub.add_argument("--viewer-port", type=int, default=None,
+                     metavar="PORT", help="serve a live map/frame view at "
+                     "http://127.0.0.1:PORT while tracking")
 
 
 def main(argv=None):
@@ -126,6 +130,14 @@ def main(argv=None):
 
             frames = gen()
 
+    live = None
+    if args.viewer_port is not None:
+        from sdslam_tpu.viewer_server import LiveViewer
+
+        live = LiveViewer(sysm)
+        port = live.start(port=args.viewer_port)
+        print(f"live viewer at http://127.0.0.1:{port}", flush=True)
+
     if args.load_map:
         sysm.load_map(args.load_map)
     if args.load_trajectory_yaml:
@@ -158,6 +170,8 @@ def main(argv=None):
             break
 
     sysm.finish()
+    if live is not None:
+        live.stop()
     sysm.save_trajectory_tum(args.traj_out)
     print(f"saved {args.traj_out} ({n} poses); final state {sysm.get_tracking_state()}")
     if args.save_map:

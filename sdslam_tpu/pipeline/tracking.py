@@ -699,15 +699,16 @@ class RGBDTracker:
 
     def _drain_burst(self, k: int):
         """Drain k pending entries with ONE device->host fetch: each fetch
-        pays a tunnel sync regardless of size, so the burst stacks the
-        per-frame result vectors on device first. Batched (track_batch)
-        entries drain individually (they are already one fetch each)."""
+        pays a tunnel sync regardless of size (~250 ms in degraded modes),
+        so the burst stacks the per-frame result vectors on device first.
+        Consecutive batch (track_batch) entries of the same chunk size are
+        likewise concatenated into one fetch."""
         k = min(k, len(self._pending))
         singles = []
         while k > 0 and self._pending:
             idx, packed = self._pending[0]
             if packed.ndim != 1:
-                break  # batch entry: handle via _drain_one below
+                break  # batch entry: handled below
             singles.append(self._pending.pop(0))
             k -= 1
         if len(singles) == 1:
@@ -719,6 +720,26 @@ class RGBDTracker:
             stacked = np.asarray(stacked_d)
             for (idx, _), row in zip(singles, stacked):
                 self._apply_packed_row(idx, row)
+        # consecutive same-width batch entries: one concatenated fetch
+        batches = []
+        while k > 0 and self._pending and self._pending[0][1].ndim == 2 and (
+            not batches
+            or self._pending[0][1].shape == batches[0][1].shape
+        ):
+            batches.append(self._pending.pop(0))
+            k -= 1
+        if len(batches) == 1:
+            self._pending.insert(0, batches[0])
+            self._drain_one()
+        elif batches:
+            cat_d = jnp.concatenate([p for _, p in batches], axis=0)
+            self._wait_ready(cat_d)
+            cat = np.asarray(cat_d)
+            r = 0
+            for idx, p in batches:
+                for b in range(p.shape[0]):
+                    self._apply_packed_row(idx + b, cat[r])
+                    r += 1
         if k > 0 and self._pending:
             self._drain_one()
 

@@ -1,0 +1,212 @@
+"""Live web viewer: the interactive counterpart of the headless renderer.
+
+The reference opens a Pangolin GL window with map/frame views and menu
+buttons (/root/reference/src/ui/Viewer.cc:68-120). TPU pods are headless,
+so the live UI here is a zero-dependency HTTP server (stdlib http.server)
+that any browser can watch while a CLI run or StreamRunner is tracking:
+
+    GET /            auto-refreshing HTML dashboard
+    GET /map.png     top-down map render (viewer.draw_map)
+    GET /frame.png   current frame + keypoint overlay (viewer.draw_frame)
+    GET /status.json tracking state, KF/point counts, trajectory length
+    POST /reset              -> System.reset()           (menu "Reset")
+    POST /localization/<on|off> -> localization mode     (menu toggle)
+
+The menu actions mirror the Pangolin buttons (Viewer.cc:112-120). Renders
+are produced on demand (rate-limited) from the live SDSlamSystem — reads of
+MapState snapshots are safe by construction (immutable pytrees).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>sdslam_tpu live viewer</title>
+<style>
+ body {{ background:#111; color:#ddd; font-family:monospace; }}
+ img {{ border:1px solid #444; max-width:48%; }}
+ button {{ background:#333; color:#ddd; border:1px solid #666;
+          padding:4px 10px; margin-right:8px; }}
+</style></head>
+<body>
+<h3>sdslam_tpu</h3>
+<div id="status">connecting...</div>
+<p>
+ <button onclick="fetch('/reset',{{method:'POST'}})">Reset</button>
+ <button onclick="fetch('/localization/on',{{method:'POST'}})">Localization on</button>
+ <button onclick="fetch('/localization/off',{{method:'POST'}})">Localization off</button>
+</p>
+<img id="map" src="/map.png"> <img id="frame" src="/frame.png">
+<script>
+ setInterval(() => {{
+   fetch('/status.json').then(r => r.json()).then(s => {{
+     document.getElementById('status').textContent = JSON.stringify(s);
+   }});
+   document.getElementById('map').src = '/map.png?' + Date.now();
+   document.getElementById('frame').src = '/frame.png?' + Date.now();
+ }}, {refresh_ms});
+</script>
+</body></html>
+"""
+
+
+class LiveViewer:
+    """Serve a live view of a running SDSlamSystem.
+
+    system: SDSlamSystem (or any object with .tracker/.reset()/
+    .activate_localization_mode()/.deactivate_localization_mode()).
+    min_render_interval throttles matplotlib renders so the viewer never
+    competes with the tracking loop for host CPU.
+    """
+
+    def __init__(self, system, min_render_interval: float = 0.5,
+                 refresh_ms: int = 1000):
+        self.system = system
+        self.refresh_ms = refresh_ms
+        self._min_dt = float(min_render_interval)
+        self._lock = threading.Lock()
+        self._cache = {}  # path -> (t, bytes)
+        self._server: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- render producers ---------------------------------------------------
+
+    def _png(self, draw) -> bytes:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = draw()
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=80)
+        plt.close(fig)
+        return buf.getvalue()
+
+    def map_png(self) -> bytes:
+        from sdslam_tpu import viewer
+
+        tr = self.system.tracker
+        traj = [p for p in tr.trajectory if p is not None]
+        return self._png(lambda: viewer.draw_map(tr.ms, trajectory=traj))
+
+    def frame_png(self) -> bytes:
+        from sdslam_tpu import viewer
+
+        tr = self.system.tracker
+        fr = tr.st.last_frame
+        if fr is None:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            ax.text(0.5, 0.5, "no frames yet", ha="center")
+            return self._png(lambda: fig)
+        f = fr.features
+        return self._png(
+            lambda: viewer.draw_frame(
+                np.asarray(fr.pyramid[0]),
+                np.asarray(f.uv)[np.asarray(f.valid)],
+                state_text=self.status()["state"],
+            )
+        )
+
+    def status(self) -> dict:
+        tr = self.system.tracker
+        return {
+            "state": tr.st.status,
+            "keyframes": int(np.asarray(tr.ms.kf_valid).sum()),
+            "points": int(np.asarray(tr.ms.pt_valid).sum()),
+            "frames": len(tr.trajectory),
+            "localization_only": bool(
+                getattr(self.system, "localization_only", False)
+            ),
+        }
+
+    def _cached(self, key: str, producer) -> bytes:
+        with self._lock:
+            t, data = self._cache.get(key, (0.0, None))
+            if data is not None and time.monotonic() - t < self._min_dt:
+                return data
+            data = producer()
+            self._cache[key] = (time.monotonic(), data)
+            return data
+
+    # -- http ----------------------------------------------------------------
+
+    def _handler(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                try:
+                    if path == "/":
+                        page = _PAGE.format(refresh_ms=viewer.refresh_ms)
+                        self._send(200, "text/html", page.encode())
+                    elif path == "/map.png":
+                        self._send(200, "image/png",
+                                   viewer._cached("map", viewer.map_png))
+                    elif path == "/frame.png":
+                        self._send(200, "image/png",
+                                   viewer._cached("frame", viewer.frame_png))
+                    elif path == "/status.json":
+                        self._send(200, "application/json",
+                                   json.dumps(viewer.status()).encode())
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except Exception as e:  # pragma: no cover - render race
+                    self._send(500, "text/plain", str(e).encode())
+
+            def do_POST(self):
+                try:
+                    if self.path == "/reset":
+                        viewer.system.reset()
+                        self._send(200, "text/plain", b"ok")
+                    elif self.path == "/localization/on":
+                        viewer.system.activate_localization_mode()
+                        self._send(200, "text/plain", b"ok")
+                    elif self.path == "/localization/off":
+                        viewer.system.deactivate_localization_mode()
+                        self._send(200, "text/plain", b"ok")
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except Exception as e:
+                    self._send(500, "text/plain", str(e).encode())
+
+        return Handler
+
+    def start(self, port: int = 8580, host: str = "127.0.0.1"):
+        """Start serving in a daemon thread; returns the bound port."""
+        self._server = ThreadingHTTPServer((host, port), self._handler())
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
