@@ -40,7 +40,12 @@ from sdslam_tpu.solvers import ba_const
 N_IN = 27
 N_OUT = 55
 LANES = 128
-TR = 8  # sublane tile per grid step
+# sublane tile per grid step: r1 shipped TR=8, which at 20k edges meant 20
+# grid steps of 4 KB-per-channel DMAs — per-step issue latency dominated
+# (measured 30 GB/s ~ 4% of roofline). TR=32 keeps VMEM modest (442 KB in
+# + 901 KB out per step, ~2.7 MB double-buffered) with 4x fewer steps and
+# 4x larger DMAs. scripts/diag_kernels.py sweeps TR on real hardware.
+TR = 32
 
 
 def _kernel(fx, fy, cx, cy, bf, use_huber, in_ref, out_ref):
