@@ -108,6 +108,8 @@ def test_rgbd_odometry_long_forward():
     assert ate < 0.02
 
 
+@pytest.mark.heavy  # ~77 s: compiles BOTH tracker variants; the packed
+# path itself is exercised by every other odometry test
 def test_packed_frame_path_matches_unpacked():
     """The single-upload packed path (u8 img + u16 depth + ts in one
     buffer) must produce the same trajectory as the separate-array path."""

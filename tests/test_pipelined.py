@@ -17,6 +17,8 @@ from sdslam_tpu.utils.config import (
 from sdslam_tpu.utils.metrics import ate_rmse
 
 
+@pytest.mark.heavy  # ~85 s (two-device program compiles); the driver's
+# dryrun_multichip exercises the same path every round
 def test_pipelined_rgbd_tracks_and_maps():
     assert len(jax.devices()) >= 2, "conftest provides 8 virtual devices"
     cam = CameraModel(fx=240.0, fy=240.0, cx=159.5, cy=119.5,
