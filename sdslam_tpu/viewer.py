@@ -24,8 +24,10 @@ def draw_map(
     show_covisibility: bool = True,
     covis_min: int = 15,
 ):
-    """Top-down (x-z) map view: points, keyframe frusta positions, trajectory,
-    covisibility edges (MapDrawer::DrawMapPoints/DrawKeyFrames)."""
+    """Top-down (x-z) map view: points, keyframe frusta positions,
+    trajectory, covisibility edges, spanning tree and loop edges
+    (MapDrawer::DrawMapPoints/DrawKeyFrames/DrawCurrentCamera draws the
+    same three graph layers, MapDrawer.cc:75-163)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -36,7 +38,8 @@ def draw_map(
     if len(pts):
         ax.scatter(pts[:, 0], pts[:, 2], s=1, c="#333333", label="map points")
     kf_mask = np.asarray(ms.kf_valid)
-    centers = metrics.camera_centers(np.asarray(ms.kf_Tcw))[kf_mask]
+    all_centers = metrics.camera_centers(np.asarray(ms.kf_Tcw))
+    centers = all_centers[kf_mask]
     if len(centers):
         ax.scatter(centers[:, 0], centers[:, 2], s=40, marker="s",
                    c="#1f77b4", label="keyframes")
@@ -46,9 +49,22 @@ def draw_map(
         for a in idx:
             for b in idx:
                 if b > a and cov[a, b] >= covis_min:
-                    ca = metrics.camera_centers(np.asarray(ms.kf_Tcw[a : a + 1]))[0]
-                    cb = metrics.camera_centers(np.asarray(ms.kf_Tcw[b : b + 1]))[0]
+                    ca, cb = all_centers[a], all_centers[b]
                     ax.plot([ca[0], cb[0]], [ca[2], cb[2]], c="#aec7e8", lw=0.5)
+    # spanning tree (green) + persistent loop edges (red), MapDrawer parity
+    parent = np.asarray(ms.kf_parent)
+    for k in np.flatnonzero(kf_mask):
+        p = parent[k]
+        if p >= 0 and kf_mask[p]:
+            ca, cb = all_centers[k], all_centers[p]
+            ax.plot([ca[0], cb[0]], [ca[2], cb[2]], c="#2ca02c", lw=0.8)
+    shown_loop = False
+    for a, b in np.asarray(ms.loop_edges):
+        if a >= 0 and b >= 0 and kf_mask[a] and kf_mask[b]:
+            ca, cb = all_centers[a], all_centers[b]
+            ax.plot([ca[0], cb[0]], [ca[2], cb[2]], c="#d62728", lw=1.2,
+                    label=None if shown_loop else "loop edge")
+            shown_loop = True
     if trajectory is not None and len(trajectory):
         c = metrics.camera_centers(np.asarray(trajectory))
         ax.plot(c[:, 0], c[:, 2], c="#2ca02c", lw=1.5, label="trajectory")
