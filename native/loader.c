@@ -163,6 +163,63 @@ static PyObject *native_pack_frame(PyObject *self, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+/* pack_frame2(img: u8 buffer [H*W], depth: u16 buffer [H*W] or None,
+ *             ts: float, out: writable u8 buffer [(H+H/2+1)*W], H, W)
+ * v2 transport layout (half the v1 payload — the H2D link is the wall in
+ * degraded tunnel regimes): out[:H,:W]=img; the depth plane DECIMATED 2x2
+ * into rows H..H+H/2-1 as W/2 low bytes then W/2 high bytes per row;
+ * f32(ts) in the first 4 bytes of the last row. H and W must be even. */
+static PyObject *native_pack_frame2(PyObject *self, PyObject *args) {
+    Py_buffer img, depth, out;
+    PyObject *depth_obj;
+    double ts;
+    int H, W;
+    if (!PyArg_ParseTuple(args, "y*Odw*ii", &img, &depth_obj, &ts, &out, &H, &W))
+        return NULL;
+    int has_depth = depth_obj != Py_None;
+    if (has_depth) {
+        if (PyObject_GetBuffer(depth_obj, &depth, PyBUF_SIMPLE) < 0) {
+            PyBuffer_Release(&img); PyBuffer_Release(&out);
+            return NULL;
+        }
+    }
+    size_t HW = (size_t)H * W;
+    int Hh = H / 2, Wh = W / 2;
+    if ((H % 2) || (W % 2) || img.len < (Py_ssize_t)HW ||
+        (has_depth && depth.len < (Py_ssize_t)(HW * 2)) ||
+        out.len < (Py_ssize_t)((size_t)(H + Hh + 1) * W)) {
+        PyBuffer_Release(&img); PyBuffer_Release(&out);
+        if (has_depth) PyBuffer_Release(&depth);
+        PyErr_SetString(PyExc_ValueError, "buffer sizes do not match H/W");
+        return NULL;
+    }
+    const uint8_t *src = (const uint8_t *)img.buf;
+    const uint16_t *dep = has_depth ? (const uint16_t *)depth.buf : NULL;
+    uint8_t *dst = (uint8_t *)out.buf;
+    Py_BEGIN_ALLOW_THREADS
+    memcpy(dst, src, HW);
+    for (int y = 0; y < Hh; y++) {
+        uint8_t *row = dst + ((size_t)H + y) * W;
+        if (dep) {
+            const uint16_t *dr = dep + (size_t)(2 * y) * W;
+            uint8_t *lo = row, *hi = row + Wh;
+            for (int x = 0; x < Wh; x++) {
+                uint16_t v = dr[2 * x];
+                lo[x] = (uint8_t)(v & 0xFF);
+                hi[x] = (uint8_t)(v >> 8);
+            }
+        } else {
+            memset(row, 0, (size_t)W);
+        }
+    }
+    float tsf = (float)ts;
+    memcpy(dst + (size_t)(H + Hh) * W, &tsf, 4);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&img); PyBuffer_Release(&out);
+    if (has_depth) PyBuffer_Release(&depth);
+    Py_RETURN_NONE;
+}
+
 /* ---- threaded prefetcher ------------------------------------------------ */
 
 typedef struct {
@@ -350,6 +407,9 @@ PyMethodDef sdslam_loader_methods[] = {
     {"pack_frame", native_pack_frame, METH_VARARGS,
      "pack_frame(img_u8, depth_u16|None, ts, out_u8, H, W): fill the packed "
      "tracker upload buffer in one pass"},
+    {"pack_frame2", native_pack_frame2, METH_VARARGS,
+     "pack_frame2(img_u8, depth_u16|None, ts, out_u8, H, W): v2 layout "
+     "(2x2-decimated depth plane; half the payload)"},
     {"prefetcher_new", native_prefetcher_new, METH_VARARGS,
      "prefetcher_new(jobs, n_threads=2, depth=8) -> capsule"},
     {"prefetcher_next", native_prefetcher_next, METH_VARARGS,

@@ -96,12 +96,27 @@ def main(argv=None):
     else:
         cfg = load_config(args.config)
         if args.cmd == "monocular":
-            from sdslam_tpu.io.datasets import TUMMonoDataset
-
             sysm = SDSlamSystem(cfg, sensor=MONOCULAR,
                                 loop_closing=not args.no_loop_closing)
-            ds = TUMMonoDataset(args.data)
-            frames = ((ts, img, None) for ts, img in ds)
+            if args.data.startswith("/dev/video"):
+                # live capture front-end, paced at Camera.fps
+                # (reference monocular.cc:52-196 opens /dev/videoN the
+                # same way when the argument is a device index)
+                from sdslam_tpu.io.camera import live_frames
+
+                fps = getattr(cfg.camera, "fps", 0) or 30.0
+                frames = (
+                    (ts, img, None)
+                    for ts, img in live_frames(
+                        args.data, cfg.camera.width, cfg.camera.height,
+                        fps=fps,
+                    )
+                )
+            else:
+                from sdslam_tpu.io.datasets import TUMMonoDataset
+
+                ds = TUMMonoDataset(args.data)
+                frames = ((ts, img, None) for ts, img in ds)
         elif args.cmd == "rgbd":
             from sdslam_tpu.io.datasets import TUMRGBDDataset
 

@@ -141,7 +141,14 @@ class ORBExtractor:
                 dimg = dimg / depth_factor
             from sdslam_tpu.ops import sample as smp
 
-            d = smp.sample_nearest(dimg, feats.uv)
+            # depth may arrive DECIMATED 2x (pack_frame half-res transport:
+            # the depth plane is half the camera payload, and per-keypoint
+            # nearest sampling only moves <=1 full-res pixel). Static shape
+            # check -> no traced branching.
+            if depth_img.shape[0] <= (img.shape[0] + 1) // 2:
+                d = smp.sample_nearest(dimg, feats.uv * 0.5)
+            else:
+                d = smp.sample_nearest(dimg, feats.uv)
             d = jnp.where(feats.valid & (d > 0), d, -1.0)
             uright = cam_mod.virtual_right(cam, feats.uv_und[:, 0], d)
             return feats, pyramid, d, uright

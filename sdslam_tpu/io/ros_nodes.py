@@ -46,9 +46,12 @@ def decode_image(msg) -> np.ndarray:
         rgb = buf.reshape(H, msg.step)[:, : W * 3].reshape(H, W, 3)
         if enc == "bgr8":
             rgb = rgb[:, :, ::-1]
-        # ITU-R BT.601 luma, same rounding as OpenCV cvtColor
+        # ITU-R BT.601 luma; round-half-up before the cast to match OpenCV
+        # cvtColor's fixed-point descale ((x + (1<<13)) >> 14), which rounds
+        # to nearest — a bare astype truncates and can differ by 1 LSB
         img = (
             0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            + 0.5
         ).astype(np.uint8)
     elif enc == "16UC1":
         dt = np.dtype(np.uint16).newbyteorder(">" if msg.is_bigendian else "<")
@@ -132,18 +135,38 @@ class SDSlamNode:
         self.ros = rospy
         return rospy
 
+    @staticmethod
+    def _msg_classes():
+        """Real ROS message classes when the ROS stack is installed
+        (rospy's Publisher/Subscriber REQUIRE a genpy Message subclass as
+        data_class — passing None raises ValueError). Returns
+        (Image, Imu, Odometry), each None when unavailable, in which case
+        the transport must be an injected stub that accepts None."""
+        try:
+            from sensor_msgs.msg import Image as ImageCls  # type: ignore
+            from sensor_msgs.msg import Imu as ImuCls  # type: ignore
+        except ImportError:
+            ImageCls = ImuCls = None
+        try:
+            from nav_msgs.msg import Odometry as OdomCls  # type: ignore
+        except ImportError:
+            OdomCls = None
+        return ImageCls, ImuCls, OdomCls
+
     def start(self):
         """Subscribe to the configured topics and create the odometry
         publisher. Returns self (call `spin()` to block)."""
         ros = self._rospy()
-        self._odom_pub = ros.Publisher(ODOM_TOPIC, None, queue_size=10)
-        ros.Subscriber(self.cfg.camera_topic, None, self.on_image,
+        image_cls, imu_cls, self._odom_cls = self._msg_classes()
+        self._odom_pub = ros.Publisher(ODOM_TOPIC, self._odom_cls,
+                                       queue_size=10)
+        ros.Subscriber(self.cfg.camera_topic, image_cls, self.on_image,
                        queue_size=self.cfg.queue_size)
         if self.runner.sensor == "rgbd":
-            ros.Subscriber(self.cfg.depth_topic, None, self.on_depth,
+            ros.Subscriber(self.cfg.depth_topic, image_cls, self.on_depth,
                            queue_size=self.cfg.queue_size)
         if self.runner.sensor == "fusion":
-            ros.Subscriber(self.cfg.imu_topic, None, self.on_imu,
+            ros.Subscriber(self.cfg.imu_topic, imu_cls, self.on_imu,
                            queue_size=200)
         return self
 
@@ -179,7 +202,11 @@ class SDSlamNode:
     def _publish_odometry(self, odo: OdometryMsg):
         """nav_msgs/Odometry + TF equivalent (ros_rgbd.cc:107-175): pose =
         Twc with the configured frames; stamp = image stamp or now()
-        depending on use_image_timestamps (already resolved upstream)."""
+        depending on use_image_timestamps (already resolved upstream).
+
+        Publishes a real nav_msgs/Odometry when the ROS stack is installed
+        (data_class wired in start()); otherwise the dict record (stub /
+        bridge transports)."""
         q = odo.quaternion_xyzw
         record = {
             "stamp": odo.stamp,
@@ -190,8 +217,20 @@ class SDSlamNode:
             "tracked": odo.tracked,
         }
         self._published.append(record)
-        if self._odom_pub is not None:
-            self._odom_pub.publish(record)
+        if self._odom_pub is None:
+            return
+        payload = record
+        if getattr(self, "_odom_cls", None) is not None:
+            msg = self._odom_cls()
+            msg.header.stamp = self.ros.Time.from_sec(float(odo.stamp))
+            msg.header.frame_id = self.cfg.base_frame
+            msg.child_frame_id = self.cfg.camera_frame
+            pos = msg.pose.pose.position
+            pos.x, pos.y, pos.z = (float(v) for v in odo.position)
+            ori = msg.pose.pose.orientation
+            ori.x, ori.y, ori.z, ori.w = (float(v) for v in q)
+            payload = msg
+        self._odom_pub.publish(payload)
 
 
 class MonocularNode(SDSlamNode):

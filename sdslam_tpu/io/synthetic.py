@@ -231,6 +231,10 @@ class SyntheticSequence:
             self.poses = orbit_trajectory(n_frames, **traj_kwargs)
         elif trajectory == "forward":
             self.poses = forward_trajectory(n_frames, **traj_kwargs)
+        elif trajectory == "custom":
+            # caller-supplied Tcw poses [N,4,4] (loop / fast-motion tests)
+            self.poses = jnp.asarray(traj_kwargs["poses"])
+            n_frames = self.poses.shape[0]
         else:
             raise ValueError(trajectory)
         self.timestamps = np.arange(n_frames) / fps

@@ -43,13 +43,18 @@ def _fuse_into_kf(
     obs_cnt=None,  # [P] observation counts (computed if None)
     radius: float = 3.0,
     th_desc: int = ham.TH_LOW,
+    prefer_query: bool = False,
 ):
     """Project candidate points into one keyframe; bind matched keypoints.
 
     Returns (new kf_mp row [N], replace_map update [P] int32 with -1 default).
     A matched keypoint that is free gets the point; a matched keypoint that
     already holds a different point merges the two (fewer-observations loses,
-    MapPoint::Replace semantics)."""
+    MapPoint::Replace semantics). With prefer_query=True the projected QUERY
+    point always wins the merge — the Fuse(vpReplacePoint) loop variant
+    (ORBmatcher.cc:617-732), where loop-side landmarks replace current-side
+    duplicates unconditionally (LoopClosing::SearchAndFuse,
+    LoopClosing.cc:535-557)."""
     P = ms.P
     q_safe = jnp.clip(q_pt_ids, 0, P - 1)
     q_ok = (q_pt_ids >= 0) & ms.pt_valid[q_safe]
@@ -92,7 +97,10 @@ def _fuse_into_kf(
     dup = (row >= 0) & (matched_pt >= 0) & (row != matched_pt)
     a = jnp.clip(row, 0, P - 1)
     b = jnp.clip(matched_pt, 0, P - 1)
-    keep_row = obs_cnt[a] >= obs_cnt[b]
+    if prefer_query:
+        keep_row = jnp.zeros_like(dup)  # loop point replaces current point
+    else:
+        keep_row = obs_cnt[a] >= obs_cnt[b]
     loser = jnp.where(dup, jnp.where(keep_row, b, a), P)
     winner = jnp.where(dup, jnp.where(keep_row, a, b), -1)
     replace_map = jnp.full((P,), -1, jnp.int32).at[loser].set(winner, mode="drop")

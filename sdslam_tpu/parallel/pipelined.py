@@ -85,17 +85,20 @@ class PipelinedRGBDTracker(RGBDTracker):
         core = self.extractor.core
         has_depth = self._HAS_DEPTH
 
-        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu,
-                 th_radius):
+        def step(ms, dst, img, depth_img, ts, mapping_enabled, imu_meas,
+                 use_imu, th_radius):
             feats, pyramid, d, uright = core(
                 img, depth_img if has_depth else None, depth_factor
             )
             dt = jnp.maximum(ts - dst.last_ts, 1e-4)
             ekf = dst.ekf
+            gyro, accel = imu_meas[:3], imu_meas[3:6]
             ekf = ekf._replace(
-                x=jnp.where(use_imu, ekf.x.at[3:6].set(w_imu), ekf.x)
+                x=jnp.where(use_imu, ekf.x.at[3:6].set(gyro), ekf.x)
             )
-            ekf, T_pred = sensors.ekf_predict(ekf, dt)
+            ekf, T_pred_cv = sensors.ekf_predict(ekf, dt)
+            imu_s, T_pred_imu = sensors.imu_predict(dst.imu, dt)
+            T_pred = jnp.where(use_imu & dst.imu.updated, T_pred_imu, T_pred_cv)
             out, _ = _track_core(
                 cam, ms,
                 feats.uv_und, feats.desc, feats.octave, feats.valid,
@@ -117,8 +120,12 @@ class PipelinedRGBDTracker(RGBDTracker):
             )
             T_report = jnp.where(track_ok, out.Tcw, ekf.last_pose)
             ekf = sensors.ekf_update(ekf, out.Tcw, dt, track_ok)
+            imu_s = sensors.imu_update(
+                imu_s, out.Tcw, gyro, accel, dt, track_ok & use_imu
+            )
             dst2 = DeviceState(
                 ekf=ekf,
+                imu=imu_s,
                 last_kf_slot=dst.last_kf_slot,
                 frames_since_kf=jnp.where(need_kf, 0, fskf + 1),
                 ref_kf_inliers=jnp.where(need_kf, n_inl, dst.ref_kf_inliers),
@@ -268,22 +275,22 @@ class PipelinedRGBDTracker(RGBDTracker):
             if st.frame_id < self._reloc_boost_until
             else self.TH_RADIUS
         )
-        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
-                 th_radius)
+        flags = (self.mapping_enabled, self._use_imu,
+                 self._imu_meas.tobytes(), th_radius)
         if flags != self._flags_host:
             self._flags_host = flags
             self._flags_dev = (
                 jnp.asarray(self.mapping_enabled),
-                jnp.asarray(self._w_imu),
+                jnp.asarray(self._imu_meas),
                 jnp.asarray(self._use_imu),
                 jnp.asarray(th_radius, jnp.float32),
             )
-        mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
+        mapping_d, imu_d, use_imu_d, th_d = self._flags_dev
         (self.ms, self.dst, packed, T_report, feats, pyramid, d, uright,
          assoc) = self._fused(
             self.ms, self.dst, img_d, dep_d,
             jnp.asarray(self._rel_ts(timestamp), jnp.float32),
-            mapping_d, w_imu_d, use_imu_d, th_d,
+            mapping_d, imu_d, use_imu_d, th_d,
         )
         self._use_imu = False
         try:

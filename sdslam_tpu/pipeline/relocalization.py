@@ -147,11 +147,61 @@ def relocalize(
             ur_obs=uright,
             rounds=4,
         )
-        ok = (n_matches >= 20) & (opt.n_inliers >= 10) & (
+        # ORBdist second chance (the reference's relocalization matcher
+        # variant, ORBmatcher.cc:1306-1421 / Tracking.cc:1064-1097 context):
+        # when the first GN keeps < 50 inliers, search AGAIN from the
+        # refined pose with a wider window (th=10) and the relaxed
+        # ORBdist=100 descriptor gate, excluding keypoints/points already
+        # matched, then re-optimize over the merged set. Computed
+        # branchlessly and selected by jnp.where (reloc is rare; an extra
+        # masked pass is cheaper than a lax.cond's second trace).
+        assoc1 = jnp.where((assoc >= 0) & opt.inliers, assoc, -1)
+        used_pt = jnp.zeros((ms.P,), bool).at[
+            jnp.where(assoc1 >= 0, assoc1, ms.P)
+        ].set(True, mode="drop")
+        q_ok2 = q_ok & ~used_pt[jnp.clip(q_pt, 0, ms.P - 1)]
+        res2 = matching.search_by_projection(
+            cam,
+            opt.Tcw,
+            ms.pt_pos[jnp.clip(q_pt, 0, ms.P - 1)],
+            ms.pt_desc[jnp.clip(q_pt, 0, ms.P - 1)],
+            q_ok2,
+            ms.kf_octave[slot],
+            uv_und,
+            desc,
+            kp_valid & (assoc1 < 0),
+            octave,
+            radius_px=10.0,
+            th_desc=100,  # ORBdist (ORBmatcher.cc:1310)
+            scale_factor=scale_factor,
+        )
+        extra = jnp.where(
+            res2.kp_to_query >= 0,
+            q_pt[jnp.clip(res2.kp_to_query, 0, ms.N - 1)], -1,
+        )
+        merged = jnp.where(assoc1 >= 0, assoc1, extra)
+        opt2 = pose_opt.optimize_pose(
+            cam,
+            opt.Tcw,
+            ms.pt_pos[jnp.clip(merged, 0, ms.P - 1)],
+            uv_und,
+            inv_sigma2,
+            merged >= 0,
+            ur_obs=uright,
+            rounds=2,
+        )
+        retry = opt.n_inliers < 50
+        n_inl = jnp.where(retry, opt2.n_inliers, opt.n_inliers)
+        Tcw = jnp.where(retry, opt2.Tcw, opt.Tcw)
+        final = jnp.where(
+            retry,
+            jnp.where((merged >= 0) & opt2.inliers, merged, -1),
+            jnp.where((assoc >= 0) & opt.inliers, assoc, -1),
+        )
+        ok = (n_matches >= 20) & (n_inl >= 10) & (
             errors[slot] < RELOC_ALIGN_MAX_ERROR * 3
         )
-        final = jnp.where((assoc >= 0) & opt.inliers, assoc, -1)
-        return ok, opt.Tcw, final, opt.n_inliers
+        return ok, Tcw, final, n_inl
 
     oks, Ts, assocs, inls = jax.vmap(verify_one)(order)
     # pick the verified candidate with most inliers

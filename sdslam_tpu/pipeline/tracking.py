@@ -119,7 +119,11 @@ def _track_core(
     q_ok = (q_pt >= 0) & ms.pt_valid[jnp.clip(q_pt, 0, ms.P - 1)]
     q_pos = ms.pt_pos[jnp.clip(q_pt, 0, ms.P - 1)]
     q_desc = ms.pt_desc[jnp.clip(q_pt, 0, ms.P - 1)]
-    q_oct = jnp.zeros_like(q_pt)
+    # source-observation octave: scales the window radius and centers the
+    # [-1,+1] octave gate, so coarse (octave>=2) keypoints can re-match
+    # (SearchByProjection(Frame, LastFrame), ORBmatcher.cc:946-1075 —
+    # previously hardcoded 0, which froze coarse features out of step 2)
+    q_oct = ms.kf_octave[ref_slot]
     res1 = matching.search_by_projection(
         cam,
         T_init,
@@ -405,28 +409,44 @@ kf_pipeline = functools.partial(
 try:  # native single-pass packer (native/loader.c)
     from sdslam_tpu import _native as _nat
     _HAS_NATIVE_PACK = hasattr(_nat, "pack_frame")
+    _HAS_NATIVE_PACK2 = hasattr(_nat, "pack_frame2")
 except ImportError:  # pragma: no cover - extension not built
     _nat = None
     _HAS_NATIVE_PACK = False
+    _HAS_NATIVE_PACK2 = False
 
 
 def pack_frame(img_u8, depth_u16, timestamp: float):
     """Pack (u8 intensity [H,W], u16 depth [H,W], f32 timestamp) into one
-    u8 buffer [H+1, 3W] for a single host->device upload: image | depth-lo |
-    depth-hi planes, timestamp bytes in the trailer row."""
+    u8 buffer [H + H//2 + 1, W] for a single host->device upload.
+
+    Transport format (v2, half the v1 payload — the camera upload is the
+    physical wall in degraded tunnel regimes, BENCH_TABLE.md):
+      rows 0..H-1          intensity image
+      rows H..H+H//2-1     depth DECIMATED 2x2 (u16): per row, W//2
+                           low bytes then W//2 high bytes
+      last row             f32 timestamp in the first 4 bytes
+    Decimation keeps exact sensor values; per-keypoint nearest sampling
+    moves at most one full-res pixel (depth maps are locally smooth; the
+    reference itself reads the raw pixel under the keypoint,
+    Frame::ComputeStereoFromRGBD, Frame.cc:399-417). The disk e2e ATE
+    gates (<2 cm TUM / EuRoC) validate the diet end to end."""
     H, W = img_u8.shape
-    buf = np.empty((H + 1, 3 * W), np.uint8)
-    if _HAS_NATIVE_PACK:
-        _nat.pack_frame(
+    assert H % 2 == 0 and W % 2 == 0, "camera dims must be even"
+    Hh, Wh = H // 2, W // 2
+    buf = np.empty((H + Hh + 1, W), np.uint8)
+    if _HAS_NATIVE_PACK2:
+        _nat.pack_frame2(
             np.ascontiguousarray(img_u8),
             np.ascontiguousarray(depth_u16),
             float(timestamp), buf, H, W,
         )
         return buf
     buf[:H, :W] = img_u8
-    buf[:H, W : 2 * W] = (depth_u16 & 0xFF).astype(np.uint8)
-    buf[:H, 2 * W : 3 * W] = (depth_u16 >> 8).astype(np.uint8)
-    buf[H, :4] = np.frombuffer(
+    dh = np.ascontiguousarray(depth_u16[::2, ::2])
+    buf[H : H + Hh, :Wh] = (dh & 0xFF).astype(np.uint8)
+    buf[H : H + Hh, Wh : 2 * Wh] = (dh >> 8).astype(np.uint8)
+    buf[H + Hh, :4] = np.frombuffer(
         np.float32(timestamp).tobytes(), dtype=np.uint8
     )
     return buf
@@ -440,6 +460,7 @@ class DeviceState(NamedTuple):
     (mVelocity/EKF state, mnLastKeyFrameId, Tracking.h:139-176)."""
 
     ekf: sensors.EKFState
+    imu: sensors.IMUState  # 16-state device IMU filter (fusion sensor)
     last_kf_slot: jnp.ndarray  # int32
     frames_since_kf: jnp.ndarray  # int32
     ref_kf_inliers: jnp.ndarray  # int32: inliers when the ref KF was made
@@ -539,7 +560,7 @@ class RGBDTracker:
         self._pending: List[Tuple[int, jnp.ndarray]] = []
         self._lost_streak = 0
         self.kf_events: List[int] = []  # drained slots of new KFs (loop closing)
-        self._w_imu = np.zeros(3, np.float32)
+        self._imu_meas = np.zeros(6, np.float32)  # [gyro(3), accel(3)]
         self._use_imu = False
         self._reloc_boost_until = -1  # frame id bound for the th=5 window
         # device timestamps are RELATIVE to the first frame: TUM/EuRoC use
@@ -573,19 +594,29 @@ class RGBDTracker:
         core = self.extractor.core
         has_depth = self._HAS_DEPTH
 
-        def step(ms, dst, img, depth_img, ts, mapping_enabled, w_imu, use_imu,
-                 th_radius):
+        def step(ms, dst, img, depth_img, ts, mapping_enabled, imu_meas,
+                 use_imu, th_radius):
             feats, pyramid, d, uright = core(
                 img, depth_img if has_depth else None, depth_factor
             )
             dt = jnp.maximum(ts - dst.last_ts, 1e-4)
+            gyro, accel = imu_meas[:3], imu_meas[3:6]
             ekf = dst.ekf
             # IMU fusion (TrackFusion): gyro rate overrides the filter's
             # angular twist before prediction (Tracking.cc:215-227 style)
             ekf = ekf._replace(
-                x=jnp.where(use_imu, ekf.x.at[3:6].set(w_imu), ekf.x)
+                x=jnp.where(use_imu, ekf.x.at[3:6].set(gyro), ekf.x)
             )
-            ekf, T_pred = sensors.ekf_predict(ekf, dt)
+            ekf, T_pred_cv = sensors.ekf_predict(ekf, dt)
+            # 16-state device IMU filter: predicts the CURRENT frame's pose
+            # with zero lag and fuses both gyro+accel after tracking (the
+            # reference's same-frame EKF cycle, EKF.cc:44-104 /
+            # Tracking.cc:215-245; the r2 host filter lagged PIPELINE_DEPTH
+            # frames — VERDICT r2 item 4)
+            imu_s, T_pred_imu = sensors.imu_predict(dst.imu, dt)
+            T_pred = jnp.where(
+                use_imu & dst.imu.updated, T_pred_imu, T_pred_cv
+            )
             out, _ = _track_core(
                 cam, ms,
                 feats.uv_und, feats.desc, feats.octave, feats.valid,
@@ -626,8 +657,12 @@ class RGBDTracker:
             # (the reference reports the last known pose when LOST)
             T_report = jnp.where(track_ok, Tcw_fin, ekf.last_pose)
             ekf = sensors.ekf_update(ekf, Tcw_fin, dt, track_ok)
+            imu_s = sensors.imu_update(
+                imu_s, Tcw_fin, gyro, accel, dt, track_ok & use_imu
+            )
             dst2 = DeviceState(
                 ekf=ekf,
+                imu=imu_s,
                 last_kf_slot=jnp.where(need_kf, slot, dst.last_kf_slot),
                 frames_since_kf=jnp.where(need_kf, 0, fskf + 1),
                 ref_kf_inliers=jnp.where(need_kf, n_inl, dst.ref_kf_inliers),
@@ -654,22 +689,24 @@ class RGBDTracker:
 
         H, W = cam.height, cam.width
 
-        def step_packed(ms, dst, buf, mapping_enabled, w_imu, use_imu,
+        def step_packed(ms, dst, buf, mapping_enabled, imu_meas, use_imu,
                         th_radius):
-            """Packed-frame variant: ONE u8 upload [H+1, 3W] carries the
-            intensity image, the u16 depth (lo/hi byte planes) and the f32
-            timestamp (first 4 bytes of the trailer row) — each separate
-            host->device call through the tunnel costs ~0.3-0.7 ms, so the
-            per-frame uploads (img, depth, ts) collapse into one."""
+            """Packed-frame variant: ONE u8 upload [H+H//2+1, W] carries the
+            intensity image, the 2x2-decimated u16 depth (lo|hi half-rows)
+            and the f32 timestamp (first 4 bytes of the trailer row) — each
+            separate host->device call through the tunnel costs ~0.3-0.7 ms
+            and the depth plane at full res would double the payload (the
+            H2D wall in degraded tunnel regimes)."""
+            Hh, Wh = H // 2, W // 2
             img = buf[:H, :W]
-            dep = buf[:H, W : 2 * W].astype(jnp.uint16) | (
-                buf[:H, 2 * W : 3 * W].astype(jnp.uint16) << 8
+            dep = buf[H : H + Hh, :Wh].astype(jnp.uint16) | (
+                buf[H : H + Hh, Wh : 2 * Wh].astype(jnp.uint16) << 8
             )
-            tsw = buf[H, :4].astype(jnp.uint32)
+            tsw = buf[H + Hh, :4].astype(jnp.uint32)
             ts_bits = tsw[0] | (tsw[1] << 8) | (tsw[2] << 16) | (tsw[3] << 24)
             ts = jax.lax.bitcast_convert_type(ts_bits, jnp.float32)
-            return step(ms, dst, img, dep, ts, mapping_enabled, w_imu, use_imu,
-                        th_radius)
+            return step(ms, dst, img, dep, ts, mapping_enabled, imu_meas,
+                        use_imu, th_radius)
 
         self._fused_packed = jax.jit(step_packed, donate_argnums=(0, 1))
         self._step_packed_core = step_packed  # unjitted body for scan fusion
@@ -772,11 +809,20 @@ class RGBDTracker:
 
     # -- host API ------------------------------------------------------------
 
-    def inject_angular_rate(self, w):
-        """Feed a gyro angular-rate measurement for the next frame
-        (TrackFusion path; Tracking.cc:215-227)."""
-        self._w_imu = np.asarray(w, np.float32)
+    def inject_imu(self, gyro, accel=None):
+        """Feed the raw IMU measurement for the NEXT tracked frame
+        (TrackFusion path; Tracking.cc:215-245): the device-resident
+        16-state EKF fuses it with the frame's tracked pose zero-lag."""
+        m = np.zeros(6, np.float32)
+        m[:3] = np.asarray(gyro, np.float32).reshape(3)
+        if accel is not None:
+            m[3:6] = np.asarray(accel, np.float32).reshape(3)
+        self._imu_meas = m
         self._use_imu = True
+
+    def inject_angular_rate(self, w):
+        """Gyro-only variant (kept for API parity with r1/r2 callers)."""
+        self.inject_imu(w)
 
     def reset_reference(self, slot: int, Tcw=None):
         """Re-anchor tracking after an external map update (loop closure):
@@ -790,6 +836,7 @@ class RGBDTracker:
         if self.dst is not None:
             self.dst = self.dst._replace(
                 ekf=sensors.ekf_init(T),
+                imu=sensors.imu_init(),
                 last_kf_slot=jnp.asarray(slot, jnp.int32),
             )
 
@@ -835,6 +882,7 @@ class RGBDTracker:
     def _start_device_state(self, slot: int, Tcw, timestamp: float):
         self.dst = DeviceState(
             ekf=sensors.ekf_init(Tcw),
+            imu=sensors.imu_init(),  # restarts on reloc (Tracking.cc:1126)
             last_kf_slot=jnp.asarray(slot, jnp.int32),
             frames_since_kf=jnp.asarray(0, jnp.int32),
             ref_kf_inliers=jnp.asarray(self.st.ref_kf_inliers, jnp.int32),
@@ -865,17 +913,17 @@ class RGBDTracker:
             else self.TH_RADIUS
         )
         # cache rarely-changing scalars on device (4 fewer H2D per frame)
-        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
-                 th_radius)
+        flags = (self.mapping_enabled, self._use_imu,
+                 self._imu_meas.tobytes(), th_radius)
         if flags != self._flags_host:
             self._flags_host = flags
             self._flags_dev = (
                 jnp.asarray(self.mapping_enabled),
-                jnp.asarray(self._w_imu),
+                jnp.asarray(self._imu_meas),
                 jnp.asarray(self._use_imu),
                 jnp.asarray(th_radius, jnp.float32),
             )
-        mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
+        mapping_d, imu_d, use_imu_d, th_d = self._flags_dev
         # packed path: one u8 H2D carrying img + depth + ts (u8 intensity +
         # u16 depth payloads only; anything else falls back)
         if (
@@ -890,7 +938,7 @@ class RGBDTracker:
             self.ms, self.dst, packed, T_report, feats, pyramid, d, uright = (
                 self._fused_packed(
                     self.ms, self.dst, jnp.asarray(buf),
-                    mapping_d, w_imu_d, use_imu_d, th_d,
+                    mapping_d, imu_d, use_imu_d, th_d,
                 )
             )
         else:
@@ -900,7 +948,7 @@ class RGBDTracker:
                 self._fused(
                     self.ms, self.dst, img_d, dep_d,
                     jnp.asarray(self._rel_ts(timestamp), jnp.float32),
-                    mapping_d, w_imu_d, use_imu_d, th_d,
+                    mapping_d, imu_d, use_imu_d, th_d,
                 )
             )
         self._use_imu = False
@@ -946,12 +994,12 @@ class RGBDTracker:
         if B not in self._fused_scan_cache:
             body = self._step_packed_core
 
-            def scan_fn(ms, dst, bufs, mapping_enabled, w_imu, use_imu,
+            def scan_fn(ms, dst, bufs, mapping_enabled, imu_meas, use_imu,
                         th_radius):
                 def f(carry, buf):
                     ms, dst = carry
                     ms, dst, packed, T_report, *_ = body(
-                        ms, dst, buf, mapping_enabled, w_imu, use_imu,
+                        ms, dst, buf, mapping_enabled, imu_meas, use_imu,
                         th_radius
                     )
                     return (ms, dst), (packed, T_report)
@@ -984,10 +1032,23 @@ class RGBDTracker:
         initialization (or while LOST) fall back to per-frame track().
         `uploaded`: a matching handle from upload_batch (device transfer
         already in flight); ignored if tracking is not in the OK state."""
-        if uploaded is not None and self.st.status == "OK":
-            bufs_dev, items = uploaded
-            rest = list(items)
-            return self._track_batch_scan(rest, bufs_dev)
+        if uploaded is not None:
+            bufs_dev, up_items = uploaded
+            items = list(items)
+            # a stale/mismatched handle would silently track the wrong
+            # frames: fail loudly unless the handle covers exactly `items`
+            if len(up_items) != len(items) or any(
+                u[2] != i[2] for u, i in zip(up_items, items)
+            ):
+                raise ValueError(
+                    "uploaded handle does not match items (count or "
+                    "timestamps differ) — pass the handle returned by "
+                    "upload_batch for this exact chunk"
+                )
+            if self.st.status == "OK":
+                return self._track_batch_scan(list(up_items), bufs_dev)
+            # not in the OK state: the in-flight upload cannot be consumed
+            # (init/reloc run per-frame); fall through to the per-frame path
         items = list(items)
         out_idx = []
         i = 0
@@ -1006,20 +1067,20 @@ class RGBDTracker:
 
     def _track_batch_scan(self, rest, bufs_dev):
         B = len(rest)
-        flags = (self.mapping_enabled, self._use_imu, tuple(self._w_imu),
-                 self.TH_RADIUS)
+        flags = (self.mapping_enabled, self._use_imu,
+                 self._imu_meas.tobytes(), self.TH_RADIUS)
         if flags != self._flags_host:
             self._flags_host = flags
             self._flags_dev = (
                 jnp.asarray(self.mapping_enabled),
-                jnp.asarray(self._w_imu),
+                jnp.asarray(self._imu_meas),
                 jnp.asarray(self._use_imu),
                 jnp.asarray(self.TH_RADIUS, jnp.float32),
             )
-        mapping_d, w_imu_d, use_imu_d, th_d = self._flags_dev
+        mapping_d, imu_d, use_imu_d, th_d = self._flags_dev
         self.ms, self.dst, packs, Ts = self._get_fused_scan(B)(
             self.ms, self.dst, bufs_dev,
-            mapping_d, w_imu_d, use_imu_d, th_d,
+            mapping_d, imu_d, use_imu_d, th_d,
         )
         try:
             packs.copy_to_host_async()

@@ -32,12 +32,13 @@ from sdslam_tpu.ops import sample as _s
 PATCH_HALF = 2
 PATCH_AREA = (2 * PATCH_HALF) ** 2  # 4x4 = 16
 
-# Pallas patch-warp kernel gate. OFF by default: Mosaic only lowers
-# same-shape 2D gathers, so the kernel's scattered bilinear taps cannot
-# compile on current TPU toolchains (the prototype in
-# ops/pallas/align_kernel.py is validated in interpret mode). The XLA
-# gather path below costs ~0.3 ms/frame across all levels — within noise
-# of the kernel's projected gain — so XLA stays the production path.
+# Pallas patch-warp kernel gate. The r2 rewrite in
+# ops/pallas/align_kernel.py is gather-free (shared-fraction one-hot MXU
+# decomposition) specifically so Mosaic CAN compile it; it is parity-tested
+# in interpret mode and benchable via scripts/diag_kernels.py. It stays OFF
+# until a hardware benchmark shows a measured win over the XLA gather path
+# (~0.3 ms/frame across all levels) at the production N=1024 / 4-level
+# shape — see BENCH_TABLE.md for the current numbers.
 _ALIGN_KERNEL = False
 
 

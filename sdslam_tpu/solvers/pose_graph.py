@@ -101,6 +101,52 @@ def make_edges_from_covisibility(
     return PoseGraphEdges(ei, ej, S_ij, w), n_dropped
 
 
+def sim3_adjoint(S):
+    """Adjoint of a Sim(3) element as a 7x7 matrix on the [rho, phi, sigma]
+    tangent (batched over leading dims).
+
+    For S = (sR, t): conjugating the algebra element m(xi) by S gives
+      phi' = R phi,  sigma' = sigma,
+      rho' = sR rho + hat(t) R phi - sigma t
+    (derived from S m(xi) S^-1 with m(xi) = [[hat(phi)+sigma I, rho],[0,0]]).
+    """
+    R, t, s = lie.sim3_Rts(S)
+    batch = S.shape[:-2]
+    A = jnp.zeros(batch + (7, 7), S.dtype)
+    A = A.at[..., 0:3, 0:3].set(s[..., None, None] * R)
+    A = A.at[..., 0:3, 3:6].set(lie._mm(lie.hat(t), R))
+    A = A.at[..., 0:3, 6].set(-t)
+    A = A.at[..., 3:6, 3:6].set(R)
+    A = A.at[..., 6, 6].set(1.0)
+    return A
+
+
+def sim3_ad(xi):
+    """Algebra adjoint ad_xi (7x7) for the [rho, phi, sigma] tangent:
+    bracket [xi1, xi2] has components
+      d_rho = (hat(phi1)+sigma1 I) rho2 + hat(rho1) phi2 - rho1 sigma2
+      d_phi = hat(phi1) phi2,   d_sigma = 0."""
+    rho, phi, sigma = xi[..., 0:3], xi[..., 3:6], xi[..., 6]
+    batch = xi.shape[:-1]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), batch + (3, 3))
+    A = jnp.zeros(batch + (7, 7), xi.dtype)
+    A = A.at[..., 0:3, 0:3].set(lie.hat(phi) + sigma[..., None, None] * eye3)
+    A = A.at[..., 0:3, 3:6].set(lie.hat(rho))
+    A = A.at[..., 0:3, 6].set(-rho)
+    A = A.at[..., 3:6, 3:6].set(lie.hat(phi))
+    return A
+
+
+def _jl_inv(r):
+    """Inverse left Jacobian of sim3 via the BCH series
+    Jl^-1(r) = I - ad_r/2 + ad_r^2/12 - ... (accurate for the small
+    residuals a converging pose graph produces; the truncation only
+    perturbs the GN step direction, not the r=0 fixed point)."""
+    ad = sim3_ad(r)
+    eye = jnp.broadcast_to(jnp.eye(7, dtype=r.dtype), ad.shape)
+    return eye - 0.5 * ad + (1.0 / 12.0) * lie._mm(ad, ad)
+
+
 def edge_system(S_all, edges: PoseGraphEdges, K: int, fix_scale: bool):
     """Assemble the GN normal equations of an edge set: returns
     (H [K*7, K*7], b [K*7]) WITHOUT damping/prior — the shard-local building
@@ -108,41 +154,33 @@ def edge_system(S_all, edges: PoseGraphEdges, K: int, fix_scale: bool):
     (parallel/dist_pose_graph.py psums these over an edge-sharded mesh)."""
     D = 7
 
-    def residuals(S_all):
+    def jac_analytic(S_all):
+        """Closed-form adjoint Jacobians wrt left-perturbation of S_i / S_j.
+
+        r(d_i) = log(A0 Exp(-d_i))  = log(Exp(-Ad_{A0} d_i) A0)
+                 ~ r0 - Jl^-1(r0) Ad_{A0} d_i
+        r(d_j) = log(S_meas Exp(d_j) S_j S_i^-1)
+                 = log(Exp(Ad_{S_meas} d_j) A0) ~ r0 + Jl^-1(r0) Ad_{S_meas} d_j
+
+        Exact to the Jl^-1 series truncation — unlike the previous
+        finite-difference path (14 perturbed evaluations/edge, eps=1e-4 in
+        f32), this is one 7x7 chain per edge with no precision cliff as K/E
+        grow. g2o's EdgeSim3 uses numeric differentiation here
+        (/root/reference/src/extra/g2o/core/base_binary_edge.hpp default
+        linearizeOplus); the closed form replaces it outright."""
         Si = S_all[edges.i]
         Sj = S_all[edges.j]
-        # r = log( S_meas_ij * S_j * S_i^-1 )  [E,7]
-        return lie.sim3_log(edges.S_ij @ Sj @ lie.sim3_inv(Si))
-
-    def jac_fd(S_all):
-        """Numerical Jacobians wrt left-perturbation of S_i and S_j.
-
-        The sim3 adjoint chain is small (7x7 per edge); finite differences
-        on the 7-dim tangent are exact enough in f32 and keep the code
-        simple; each edge needs 14 perturbed evaluations, all batched."""
-        eps = 1e-4
-        r0 = residuals(S_all)
-
-        def pert(which, d):
-            delta = jnp.zeros((D,)).at[d].set(eps)
-            Sd = lie.sim3_exp(delta)
-            Si = S_all[edges.i]
-            Sj = S_all[edges.j]
-            if which == 0:
-                Si = jnp.einsum("ij,ejk->eik", Sd, Si)
-            else:
-                Sj = jnp.einsum("ij,ejk->eik", Sd, Sj)
-            r = lie.sim3_log(edges.S_ij @ Sj @ lie.sim3_inv(Si))
-            return (r - r0) / eps
-
-        Ji = jnp.stack([pert(0, d) for d in range(D)], axis=-1)  # [E,7,7]
-        Jj = jnp.stack([pert(1, d) for d in range(D)], axis=-1)
+        A0 = edges.S_ij @ Sj @ lie.sim3_inv(Si)
+        r0 = lie.sim3_log(A0)
+        Jl = _jl_inv(r0)
+        Ji = -lie._mm(Jl, sim3_adjoint(A0))
+        Jj = lie._mm(Jl, sim3_adjoint(edges.S_ij))
         return r0, Ji, Jj
 
     hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
     Ui = (edges.i[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * edges.weight[:, None]
     Uj = (edges.j[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * edges.weight[:, None]
-    r, Ji, Jj = jac_fd(S_all)
+    r, Ji, Jj = jac_analytic(S_all)
     if fix_scale:
         # 6-DoF mode: zero the scale tangent (RGB-D, Optimizer.cc:770)
         scale_mask = jnp.ones((D,)).at[6].set(0.0)

@@ -8,13 +8,21 @@ that any browser can watch while a CLI run or StreamRunner is tracking:
     GET /            auto-refreshing HTML dashboard
     GET /map.png     top-down map render (viewer.draw_map)
     GET /frame.png   current frame + keypoint overlay (viewer.draw_frame)
+    GET /ar.png      AR overlay (cube + grid on detected planes)
     GET /status.json tracking state, KF/point counts, trajectory length
-    POST /reset              -> System.reset()           (menu "Reset")
-    POST /localization/<on|off> -> localization mode     (menu toggle)
+    POST /reset              -> queue System.reset()     (menu "Reset")
+    POST /localization/<on|off> -> queue localization toggle (menu toggle)
+    POST /plane/add          -> queue AR plane detection (menu "Add plane")
+    POST /plane/clear        -> clear AR planes          (menu "Clear planes")
 
-The menu actions mirror the Pangolin buttons (Viewer.cc:112-120). Renders
-are produced on demand (rate-limited) from the live SDSlamSystem — reads of
-MapState snapshots are safe by construction (immutable pytrees).
+The menu actions mirror the Pangolin buttons (Viewer.cc:112-120), INCLUDING
+the deferred-application pattern: Pangolin menu clicks set flags the
+tracking loop consumes at a frame boundary (Viewer::CheckMenu); here POSTs
+enqueue actions that SDSlamSystem applies in _after_frame. Applying them on
+the HTTP handler thread would race the tracking loop's own drains (reset
+reassigns tracker.ms/st while track() is mid-flight). Renders are produced
+on demand (rate-limited) from the live SDSlamSystem — reads of MapState
+snapshots are safe by construction (immutable pytrees).
 """
 
 from __future__ import annotations
@@ -43,6 +51,8 @@ _PAGE = """<!doctype html>
  <button onclick="fetch('/reset',{{method:'POST'}})">Reset</button>
  <button onclick="fetch('/localization/on',{{method:'POST'}})">Localization on</button>
  <button onclick="fetch('/localization/off',{{method:'POST'}})">Localization off</button>
+ <button onclick="fetch('/plane/add',{{method:'POST'}})">Add AR plane</button>
+ <button onclick="fetch('/plane/clear',{{method:'POST'}})">Clear planes</button>
 </p>
 <img id="map" src="/map.png"> <img id="frame" src="/frame.png">
 <script>
@@ -76,6 +86,55 @@ class LiveViewer:
         self._cache = {}  # path -> (t, bytes)
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # menu actions queued by HTTP handlers, applied by the tracking
+        # thread at a frame boundary (the reference's CheckMenu flag
+        # pattern, Viewer.cc:112-120)
+        self._actions: list = []
+        self.planes: list = []  # detected AR planes [(normal, d, n_inliers)]
+        # the tracking side polls this viewer (SDSlamSystem._after_frame)
+        setattr(system, "_live_viewer", self)
+
+    # -- queued menu actions -------------------------------------------------
+
+    def request(self, action: str):
+        """Queue a menu action for the owning tracking loop."""
+        with self._lock:
+            self._actions.append(action)
+
+    def apply_pending(self):
+        """Apply queued menu actions — MUST be called from the thread that
+        owns the tracking loop, at a frame boundary (never from the HTTP
+        handler: reset/localization mutate tracker state the frame loop is
+        concurrently using). Returns the list of applied actions."""
+        with self._lock:
+            actions, self._actions = self._actions, []
+        for a in actions:
+            if a == "reset":
+                self.system.reset()
+                setattr(self.system, "_live_viewer", self)
+                self.planes.clear()
+            elif a == "localization_on":
+                self.system.activate_localization_mode()
+            elif a == "localization_off":
+                self.system.deactivate_localization_mode()
+            elif a == "plane_add":
+                self._detect_plane()
+            elif a == "plane_clear":
+                self.planes.clear()
+        return actions
+
+    def _detect_plane(self):
+        """AR plane RANSAC over the current map points (menu "Add plane",
+        Viewer.cc:112-120 / FrameDrawer::DetectPlane)."""
+        from sdslam_tpu import viewer as V
+
+        tr = self.system.tracker
+        pts = np.asarray(tr.ms.pt_pos)[np.asarray(tr.ms.pt_valid)]
+        res = V.detect_plane(pts, seed=len(self.planes))
+        if res is not None:
+            # keep the point snapshot: the inlier mask indexes it, and
+            # draw_ar anchors the grid on the inlier centroid
+            self.planes.append({"plane": res, "points": pts})
 
     # -- render producers ---------------------------------------------------
 
@@ -121,6 +180,30 @@ class LiveViewer:
             )
         )
 
+    def ar_png(self) -> bytes:
+        """AR overlay on the current frame: cube + grid per detected plane
+        (FrameDrawer::DrawCube/DrawPlane; menu-driven like the reference)."""
+        from sdslam_tpu import viewer as V
+
+        tr = self.system.tracker
+        fr = tr.st.last_frame
+        if fr is None or not self.planes:
+            return self._cached("frame", self.frame_png)
+        img = np.asarray(fr.pyramid[0])
+        Tcw = np.asarray(tr.st.T_last)
+        arr = None
+        for p in self.planes:
+            arr = V.draw_ar(
+                img if arr is None else arr,
+                self.system.config.camera, Tcw, p["plane"],
+                points=p["points"],
+            )
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "PNG")
+        return buf.getvalue()
+
     def status(self) -> dict:
         tr = self.system.tracker
         return {
@@ -131,6 +214,8 @@ class LiveViewer:
             "localization_only": bool(
                 getattr(self.system, "localization_only", False)
             ),
+            "planes": len(self.planes),
+            "pending_actions": len(self._actions),
         }
 
     def _cached(self, key: str, producer) -> bytes:
@@ -170,6 +255,9 @@ class LiveViewer:
                     elif path == "/frame.png":
                         self._send(200, "image/png",
                                    viewer._cached("frame", viewer.frame_png))
+                    elif path == "/ar.png":
+                        self._send(200, "image/png",
+                                   viewer._cached("ar", viewer.ar_png))
                     elif path == "/status.json":
                         self._send(200, "application/json",
                                    json.dumps(viewer.status()).encode())
@@ -179,20 +267,21 @@ class LiveViewer:
                     self._send(500, "text/plain", str(e).encode())
 
             def do_POST(self):
-                try:
-                    if self.path == "/reset":
-                        viewer.system.reset()
-                        self._send(200, "text/plain", b"ok")
-                    elif self.path == "/localization/on":
-                        viewer.system.activate_localization_mode()
-                        self._send(200, "text/plain", b"ok")
-                    elif self.path == "/localization/off":
-                        viewer.system.deactivate_localization_mode()
-                        self._send(200, "text/plain", b"ok")
-                    else:
-                        self._send(404, "text/plain", b"not found")
-                except Exception as e:
-                    self._send(500, "text/plain", str(e).encode())
+                # actions are QUEUED for the tracking loop (frame-boundary
+                # application), not applied on this handler thread
+                actions = {
+                    "/reset": "reset",
+                    "/localization/on": "localization_on",
+                    "/localization/off": "localization_off",
+                    "/plane/add": "plane_add",
+                    "/plane/clear": "plane_clear",
+                }
+                a = actions.get(self.path)
+                if a is None:
+                    self._send(404, "text/plain", b"not found")
+                else:
+                    viewer.request(a)
+                    self._send(200, "text/plain", b"queued")
 
         return Handler
 

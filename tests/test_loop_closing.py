@@ -161,7 +161,13 @@ def test_async_loop_closer_consistency_chain():
         closer.dispatch_keyframe(t.ms, slot)
     # nothing forced yet: pending detections may or may not have drained
     t.ms, infos = closer.poll(t.ms, force=True)
-    assert len(infos) + len(closer._pending) == 3
+    # infos = 3 detection entries + the async verification drain entries
+    # (verification is dispatched async on the consistency hit and its
+    # result drains as its own info — VERDICT r2 item 6)
+    detections = [i for i in infos if "detected" in i]
+    assert len(detections) + len(closer._pending) == 3
+    hit = [i for i in detections if i.get("verifying")]
+    assert hit, infos  # the third consistent detection dispatched a verify
     corrected = [i for i in infos if i.get("corrected")]
     assert corrected, infos
     assert corrected[0]["kf"] == slots[2]

@@ -105,6 +105,41 @@ def test_search_by_projection_two_view(rng):
     assert (err < 4.0).mean() > 0.6
 
 
+def test_search_by_projection_octave_window(rng):
+    """The octave gate is centered on the SOURCE observation's octave
+    (ORBmatcher.cc:946-1075): a coarse (octave-2) query must (a) accept a
+    displaced octave-2 keypoint thanks to the octave-scaled radius, and
+    (b) reject it when the query octave is wrongly forced to 0 — the r2
+    regression where _track_core hardcoded q_oct=0 (VERDICT r2 item 5)."""
+    Q = 4
+    # one query point projecting to (160, 120)
+    Xw = jnp.asarray(np.array([[0.0, 0.0, 2.0]] * Q, np.float32))
+    d = jnp.asarray(
+        rng.integers(0, 2**32, size=(Q, 8), dtype=np.uint64).astype(np.uint32)
+    )
+    q_valid = jnp.asarray(np.array([True] + [False] * (Q - 1)))
+    # target keypoint: same descriptor, octave 2, displaced 20 px — inside
+    # the octave-scaled window (8 * 2^2 = 32 px), outside the raw 8 px one
+    kp_uv = jnp.asarray(np.array([[180.0, 120.0]] * Q, np.float32))
+    kp_oct = jnp.asarray(np.full(Q, 2, np.int32))
+    kp_valid = jnp.asarray(np.array([True] + [False] * (Q - 1)))
+    T = jnp.eye(4)
+
+    res_coarse = matching.search_by_projection(
+        CAM, T, Xw, d, q_valid, jnp.full((Q,), 2, jnp.int32),
+        kp_uv, d, kp_valid, kp_oct, radius_px=8.0, th_desc=ham.TH_HIGH,
+    )
+    assert int(res_coarse.kp_to_query[0]) == 0  # matched
+
+    res_zero = matching.search_by_projection(
+        CAM, T, Xw, d, q_valid, jnp.zeros((Q,), jnp.int32),
+        kp_uv, d, kp_valid, kp_oct, radius_px=8.0, th_desc=ham.TH_HIGH,
+    )
+    # q_oct=0: radius unscaled (8 px < 20 px) AND octave gate [-1,1]
+    # around 0 excludes octave 2 — the coarse feature can never re-match
+    assert int(res_zero.kp_to_query[0]) == -1
+
+
 def test_search_local_points_gates(rng):
     """Points behind the camera or outside the scale band must not match."""
     seq, fr0, fr1 = _two_frames(rng)

@@ -73,9 +73,30 @@ def test_viewer_server_endpoints():
         assert code == 200 and ctype == "image/png"
         assert body[:8] == b"\x89PNG\r\n\x1a\n"
 
+        # POSTs only QUEUE menu actions (the reference's CheckMenu flag
+        # pattern): nothing applies until the tracking side calls
+        # apply_pending at a frame boundary
         assert _post(port, "/reset") == 200
         assert _post(port, "/localization/on") == 200
         assert _post(port, "/localization/off") == 200
+        assert sysm.calls == []
+        s = json.loads(_get(port, "/status.json")[2])
+        assert s["pending_actions"] == 3
+        applied = v.apply_pending()
+        assert applied == ["reset", "localization_on", "localization_off"]
         assert sysm.calls == ["reset", "loc_on", "loc_off"]
+        # AR plane menu actions (Viewer.cc:112-120): points are all at z=0
+        # -> a perfect plane; add then clear
+        sysm.tracker.ms.pt_pos = np.concatenate(
+            [np.random.default_rng(0).uniform(-1, 1, (30, 2)),
+             np.zeros((30, 1))], axis=1,
+        )
+        sysm.tracker.ms.pt_valid = np.ones(30, bool)
+        assert _post(port, "/plane/add") == 200
+        v.apply_pending()
+        assert len(v.planes) == 1
+        assert _post(port, "/plane/clear") == 200
+        v.apply_pending()
+        assert len(v.planes) == 0
     finally:
         v.stop()
