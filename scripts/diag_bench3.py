@@ -7,8 +7,11 @@ Run ALONE (one TPU process; no concurrent CPU jobs). Generous outer
 timeout; never kill mid-op (CLAUDE.md wedge protocol).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -416,6 +416,11 @@ except ImportError:  # pragma: no cover - extension not built
     _HAS_NATIVE_PACK2 = False
 
 
+# jitted program cache shared across tracker instances, keyed by
+# (tracker class, camera, config reprs) — see RGBDTracker.__init__
+_PROGRAM_CACHE: dict = {}
+
+
 def pack_frame(img_u8, depth_u16, timestamp: float):
     """Pack (u8 intensity [H,W], u16 depth [H,W], f32 timestamp) into one
     u8 buffer [H + H//2 + 1, W] for a single host->device upload.
@@ -570,7 +575,32 @@ class RGBDTracker:
         self._flags_host = None
         self._flags_dev = None
         self._fused_packed = None  # set by _build_fused when supported
-        self._fused = self._build_fused()
+        # program cache SHARED ACROSS TRACKER INSTANCES: the fused step is a
+        # pure function of (tracker class, camera, config) — rebuilding it
+        # per instance re-TRACES the whole per-frame graph (~3-5 s of host
+        # time on a small host for each fresh tracker, measured r3), even
+        # though the XLA executable cache then hits. Benchmarks, resets and
+        # multi-sequence runs construct many trackers with one config.
+        key = (
+            type(self).__name__, repr(cam), repr(cfg.orb), repr(cfg.map),
+            repr(cfg.tracking),
+        )
+        progs = _PROGRAM_CACHE.get(key)
+        if progs is None:
+            self._fused = self._build_fused()
+            progs = {
+                "fused": self._fused,
+                "fused_packed": self._fused_packed,
+                # subclasses (pipelined) may not define the packed scan core
+                "step_core": getattr(self, "_step_packed_core", None),
+                "scan": {},
+            }
+            _PROGRAM_CACHE[key] = progs
+        else:
+            self._fused = progs["fused"]
+            self._fused_packed = progs["fused_packed"]
+            self._step_packed_core = progs["step_core"]
+        self._fused_scan_cache = progs["scan"]
 
     def _rel_ts(self, timestamp: float) -> float:
         """Device-bound timestamp, relative to the tracker's first frame
