@@ -8,8 +8,11 @@ verification result and applies the correction.
 on the TPU (no concurrent CPU jobs); generous timeout, never kill mid-op.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -45,6 +45,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _kernel(img_ref, Xc_ref, patch_ref, J_ref, okpx_ref, out_ref, *, fx, fy, cx, cy):
+    # grid step 0 zeroes the accumulator; later steps add their tile's
+    # contribution (TPU grids run sequentially, so += is race-free)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros((1, 8), jnp.float32)
+
     H, W = img_ref.shape
     img = img_ref[:]
     x = Xc_ref[:, 0]
@@ -91,30 +97,40 @@ def _kernel(img_ref, Xc_ref, patch_ref, J_ref, okpx_ref, out_ref, *, fx, fy, cx,
     wy1 = 1.0 - wy
     cur_cols = []
     m_cols = []
+    zok_f = zok.astype(jnp.float32)
     for pr in range(4):
-        yok = (y0i + (pr - 2) >= 0) & (y0i + (pr - 2) < H - 1)
+        yok = ((y0i + (pr - 2) >= 0) & (y0i + (pr - 2) < H - 1)).astype(
+            jnp.float32
+        )
         for pc in range(4):
             top = V[pr][pc] * wx1 + V[pr][pc + 1] * wx
             bot = V[pr + 1][pc] * wx1 + V[pr + 1][pc + 1] * wx
             cur_cols.append(top * wy1 + bot * wy)
-            xok = (x0i + (pc - 2) >= 0) & (x0i + (pc - 2) < W - 1)
-            m_cols.append(xok & yok & zok)
+            xok = ((x0i + (pc - 2) >= 0) & (x0i + (pc - 2) < W - 1)).astype(
+                jnp.float32
+            )
+            # masks kept as f32 throughout: stacking i1 vectors makes
+            # Mosaic emit an i1->i32 vreg bitcast it cannot lower
+            m_cols.append(xok * yok * zok_f)
     cur = jnp.stack(cur_cols, axis=1)  # [N, 16] in pr*4+pc order
-    m = jnp.stack(m_cols, axis=1) & (okpx_ref[:] > 0)
+    m = jnp.stack(m_cols, axis=1) * okpx_ref[:]  # f32 0/1
 
-    r_ = jnp.where(m, (cur - patch_ref[:]) / 255.0, 0.0)  # [N, 16]
-    J = J_ref[:].reshape(N, PATCH, 6)
-    Jm = jnp.where(m[:, :, None], J, 0.0)
-    # b = sum_{p,k} Jm[p,k,:] * r[p,k] — one [1, N*16] @ [N*16, 6] matvec
-    b = jax.lax.dot_general(
-        r_.reshape(1, N * PATCH), Jm.reshape(N * PATCH, 6),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # [1, 6]
-    chi = jnp.sum(r_ * r_)
-    n = jnp.sum(m.astype(jnp.float32))
-    out_ref[0, 0:6] = b[0]
-    out_ref[0, 6] = chi
-    out_ref[0, 7] = n
+    r_ = m * (cur - patch_ref[:]) / 255.0  # [N, 16], 0 where masked
+    # b_f = sum_{n,k} J[f,n,k] * r[n,k]: six multiply-reduce passes over
+    # [N,16]. Mosaic lowering constraints shape this code: no rank-changing
+    # reshapes ("unsupported shape cast" — J arrives pre-transposed as
+    # [6,N,16]), no scalar stores, and no jnp.stack of scalars ("invalid
+    # vector register cast") — so the 8 outputs are accumulated into one
+    # (1,8) row by broadcasting each scalar against a lane-index one-hot.
+    # r_ is already zero at masked pixels, masking J again is redundant.
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    acc = jnp.zeros((1, 8), jnp.float32)
+    for f in range(6):
+        bf = jnp.sum(J_ref[f] * r_)
+        acc = acc + jnp.where(iota8 == f, bf, 0.0)
+    acc = acc + jnp.where(iota8 == 6, jnp.sum(r_ * r_), 0.0)
+    acc = acc + jnp.where(iota8 == 7, jnp.sum(m), 0.0)
+    out_ref[:, :] = out_ref[:, :] + acc
 
 
 @functools.partial(
@@ -133,7 +149,11 @@ def accumulate_gn(
     current iterate (H is constant under inverse-compositional LK and is
     precomputed by the caller)."""
     N = Xc.shape[0]
-    pad = (-N) % 8
+    # point tiles over a sequential grid: the per-tile one-hot rows
+    # ([TN, H] x 5) are the VMEM peak — one untiled N=1024 step at a
+    # 160x120 level overflows scoped VMEM by ~4 MB
+    TN = min(256, N)
+    pad = (-N) % TN
     if pad:
         Xc = jnp.concatenate([Xc, jnp.ones((pad, 3), Xc.dtype)])
         ref_patch = jnp.concatenate(
@@ -141,24 +161,34 @@ def accumulate_gn(
         J = jnp.concatenate([J, jnp.zeros((pad, PATCH, 6), J.dtype)])
         okpx = jnp.concatenate([okpx, jnp.zeros((pad, PATCH), bool)])
     M = Xc.shape[0]
+    H, W = img.shape
     kern = functools.partial(_kernel, fx=fx, fy=fy, cx=cx, cy=cy)
     out = pl.pallas_call(
         kern,
+        grid=(M // TN,),
         out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, PATCH), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TN, PATCH), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, PATCH), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
         jnp.asarray(img, jnp.float32),
         jnp.asarray(Xc, jnp.float32),
         jnp.asarray(ref_patch, jnp.float32),
-        jnp.asarray(J, jnp.float32).reshape(M, PATCH * 6),
+        # [6, N, 16]: rank-changing reshapes are not lowerable INSIDE the
+        # kernel, so the Jacobian is laid out kernel-ready on the XLA side
+        jnp.transpose(jnp.asarray(J, jnp.float32), (2, 0, 1)),
         okpx.astype(jnp.float32),
     )
     return out[0, 0:6], out[0, 6], out[0, 7].astype(jnp.int32)

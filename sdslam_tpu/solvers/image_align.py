@@ -32,18 +32,25 @@ from sdslam_tpu.ops import sample as _s
 PATCH_HALF = 2
 PATCH_AREA = (2 * PATCH_HALF) ** 2  # 4x4 = 16
 
-# Pallas patch-warp kernel gate. The r2 rewrite in
-# ops/pallas/align_kernel.py is gather-free (shared-fraction one-hot MXU
-# decomposition) specifically so Mosaic CAN compile it; it is parity-tested
-# in interpret mode and benchable via scripts/diag_kernels.py. It stays OFF
-# until a hardware benchmark shows a measured win over the XLA gather path
-# (~0.3 ms/frame across all levels) at the production N=1024 / 4-level
-# shape — see BENCH_TABLE.md for the current numbers.
-_ALIGN_KERNEL = False
+# Pallas patch-warp kernel gate. The gather-free rewrite in
+# ops/pallas/align_kernel.py (shared-fraction one-hot MXU decomposition)
+# COMPILES on TPU and measured 2.00 ms vs the XLA path's 2.10 ms for the
+# full per-frame alignment at the production N=1024 / 3-level shape
+# (scripts/diag_kernels.py align, r3 — BENCH_TABLE.md). Adopted on TPU;
+# "auto" keeps the XLA path on CPU, where Mosaic interpret mode is orders
+# of magnitude slower and the tests' oracle is the XLA path anyway.
+# Override by assigning True/False.
+_ALIGN_KERNEL = "auto"
 
 
 def _align_kernel_enabled() -> bool:
-    return _ALIGN_KERNEL
+    if _ALIGN_KERNEL == "auto":
+        import jax
+
+        # device.platform is "tpu" even when the backend plugin registers
+        # under another name (the tunnel registers as "axon")
+        return jax.devices()[0].platform == "tpu"
+    return bool(_ALIGN_KERNEL)
 
 
 class AlignResult(NamedTuple):
