@@ -135,6 +135,50 @@ def test_no_false_loop_on_novel_view():
     assert not bool(cand.found)
 
 
+def test_fuse_loop_points_merges_seam_duplicates():
+    """SearchAndFuse semantics (LoopClosing.cc:535-557 /
+    ORBmatcher.cc:617-732): after a loop correction aligns the two sides,
+    landmarks duplicated across the seam (same physical point, two pool
+    entries) must MERGE, with the loop-side point replacing the
+    current-side one unconditionally."""
+    t, seq, cfg = build_tracked_map(n=8)
+    # revisit KF at the TRUE pose (post-correction state): its spawn_points
+    # creates fresh pool entries duplicating the originals seen at frame 0
+    slot = _insert_revisit_kf(
+        t, seq, cfg, 0, np.asarray(seq.poses[0]).astype(np.float32),
+        fake_frame_id=500,
+    )
+    ms = t.ms
+    covis = M.covisibility(ms)
+    # the revisit KF duplicates frame-0 landmarks: it shares no pool ids
+    # with the early keyframes (assoc=-1 at insertion)
+    cand = 0  # earliest keyframe = the loop side
+    n_pts_before = int(np.asarray(ms.pt_valid).sum())
+    row_before = np.asarray(ms.kf_mp[slot])
+    hood_before = set(
+        int(p) for p in np.asarray(ms.kf_mp[cand]) if p >= 0
+    )
+    assert not (set(row_before[row_before >= 0].tolist()) & hood_before)
+
+    ms2 = LC.fuse_loop_points(
+        t.cam, ms, jnp.asarray(slot), jnp.asarray(cand), covis,
+        scale_factor=2.0,
+    )
+    row_after = np.asarray(ms2.kf_mp[slot])
+    n_pts_after = int(np.asarray(ms2.pt_valid).sum())
+    # loop-side ids now appear in the revisit KF's bindings ...
+    n_loop_bound = len(set(row_after[row_after >= 0].tolist()) & hood_before)
+    assert n_loop_bound > 30, n_loop_bound
+    # ... and the replaced duplicates were invalidated (pool shrank)
+    assert n_pts_after < n_pts_before - 30, (n_pts_before, n_pts_after)
+    # replaced duplicates are gone from every keyframe row
+    killed = np.flatnonzero(
+        np.asarray(ms.pt_valid) & ~np.asarray(ms2.pt_valid)
+    )
+    mp_after = np.asarray(ms2.kf_mp)
+    assert not np.isin(mp_after[mp_after >= 0], killed).any()
+
+
 def test_async_loop_closer_consistency_chain():
     """The full async orchestration (dispatch_keyframe / poll): three
     consecutive revisit keyframes build the on-device consistency chain
