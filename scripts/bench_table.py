@@ -220,7 +220,9 @@ def main():
     ]
     for name, val, note in rows:
         lines.append(f"| {name} | {val} | {note} |")
-    with open("/root/repo/BENCH_TABLE.md", "w") as f:
+    # BENCH_TABLE.md is hand-curated (tunnel-regime context, TR sweep,
+    # profiler numbers); never clobber it — write alongside
+    with open("/root/repo/BENCH_TABLE.autogen.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(blob))
 
