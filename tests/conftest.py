@@ -22,36 +22,33 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def _host_cache_dir() -> str:
-    """CPU-feature-keyed cache directory.
-
-    The XLA:CPU AOT cache is NOT portable across machines: entries
-    compiled on a host with different CPU features (avx512/amx variants
-    across the fleet) deserialize with 'machine type ... doesn't match'
-    warnings and can SIGSEGV outright inside
-    compilation_cache.get_executable_and_time (observed r3: intermittent
-    hard crashes of the suite after the working machine changed). Keying
-    the directory by the host's feature flags makes cross-machine reads
-    impossible while keeping same-machine reruns fast."""
+# Persistent compile cache: OPT-IN for tests (SDSLAM_TEST_CACHE=1).
+#
+# The XLA:CPU AOT executable deserializer in this jaxlib is unsafe on this
+# host: EVERY persistent-cache read warns 'machine type used for
+# compilation doesn't match the machine type for execution' (the compile
+# target records pseudo-features like +prefer-no-scatter plus avx512/amx
+# variants the loader then can't match), and reads intermittently SIGSEGV
+# inside compilation_cache.get_executable_and_time — reproduced r3 even
+# with a cache directory freshly keyed by this host's /proc/cpuinfo flags,
+# i.e. same-host entries are not reliably loadable either. A crashed suite
+# is worse than a slow one, so correctness wins by default; local dev
+# loops that accept the risk can export SDSLAM_TEST_CACHE=1 for fast warm
+# reruns (~15 min vs ~40-70 min cold).
+if os.environ.get("SDSLAM_TEST_CACHE") == "1":
     try:
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    digest = hashlib.sha256(line.encode()).hexdigest()[:10]
-                    break
-            else:
-                digest = "generic"
+            flags_line = next(
+                (l for l in f if l.startswith("flags")), "generic"
+            )
     except OSError:
-        digest = "generic"
-    return f"/root/.jax_cache_cpu_{digest}"
-
-
-# persistent compile cache: the suite's dominant cost is XLA compiles of
-# the big fused tracker programs; caching them makes reruns fast (keyed by
-# HLO hash, so code changes invalidate exactly what they touch)
-jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        flags_line = "generic"
+    digest = hashlib.sha256(flags_line.encode()).hexdigest()[:10]
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/root/.jax_cache_cpu_{digest}"
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
