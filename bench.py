@@ -44,12 +44,13 @@ WARMUP = 6  # per-frame init segment (map bootstrap)
 # modes) are half of the 4x16 layout
 CHUNK = 32
 N_CHUNKS = 2
-BASE_PASSES = 4
+# r4 (advisor): FIXED pass count — the stopping rule must not depend on
+# the reported score (sampling-until-lucky biases the headline upward).
+# Extra passes are added ONLY on the stall signal (>4x spread within the
+# collected passes), bounded by MAX_PASSES; the full rates list is
+# reported in the JSON so the spread is visible.
+BASE_PASSES = 5
 MAX_PASSES = 8
-# relay pacing fluctuates 2-4x between passes on identical code (measured
-# 49.5 / 47 / 25 fps across three r3 runs); keep sampling until the best
-# pass clears this bar or the pass budget runs out
-TARGET_FPS = 36.0
 
 
 def _probe_h2d(jax, jnp, size_mb=4):
@@ -136,11 +137,9 @@ def main():
     one_pass(timed=False)  # rehearsal: compiles everything off the clock
 
     rates = [one_pass() for _ in range(BASE_PASSES)]
-    # keep sampling while the best pass is below target or the spread says
-    # a stall polluted a pass — steady-state throughput is the best pass
-    while len(rates) < MAX_PASSES and (
-        max(rates) < TARGET_FPS or max(rates) > 4.0 * min(rates)
-    ):
+    # extra passes only on the stall signal (a >4x spread means the relay
+    # stalled mid-pass, polluting a sample) — never on the score itself
+    while len(rates) < MAX_PASSES and max(rates) > 4.0 * min(rates):
         rates.append(one_pass())
     fps = max(rates)
 
@@ -151,6 +150,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
+                "passes": [round(r, 2) for r in rates],
             }
         )
     )

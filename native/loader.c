@@ -212,8 +212,12 @@ static PyObject *native_pack_frame2(PyObject *self, PyObject *args) {
             memset(row, 0, (size_t)W);
         }
     }
+    /* deterministic payload: zero the trailer row past the timestamp so
+     * uploads are byte-reproducible (the buffer may be uninitialized) */
     float tsf = (float)ts;
-    memcpy(dst + (size_t)(H + Hh) * W, &tsf, 4);
+    uint8_t *trailer = dst + (size_t)(H + Hh) * W;
+    memcpy(trailer, &tsf, 4);
+    memset(trailer + 4, 0, (size_t)W - 4);
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&img); PyBuffer_Release(&out);
     if (has_depth) PyBuffer_Release(&depth);

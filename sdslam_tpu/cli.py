@@ -183,6 +183,11 @@ def main(argv=None):
             )
         if args.max_frames and n >= args.max_frames:
             break
+        if sysm.stop_requested:
+            # viewer "Stop and Save" (System::RequestStop): exit the loop;
+            # the trajectory/map saves below run as on normal completion
+            print("stop requested — saving and exiting", flush=True)
+            break
 
     sysm.finish()
     if live is not None:

@@ -454,6 +454,7 @@ def pack_frame(img_u8, depth_u16, timestamp: float):
     buf[H + Hh, :4] = np.frombuffer(
         np.float32(timestamp).tobytes(), dtype=np.uint8
     )
+    buf[H + Hh, 4:] = 0  # deterministic payload (np.empty above)
     return buf
 
 
@@ -1066,13 +1067,15 @@ class RGBDTracker:
             bufs_dev, up_items = uploaded
             items = list(items)
             # a stale/mismatched handle would silently track the wrong
-            # frames: fail loudly unless the handle covers exactly `items`
+            # frames: fail loudly unless the handle covers exactly `items`.
+            # Identity comparison, not timestamps — two different chunks
+            # can share timestamps (e.g. a sequence restarted at t=0).
             if len(up_items) != len(items) or any(
-                u[2] != i[2] for u, i in zip(up_items, items)
+                u is not i for u, i in zip(up_items, items)
             ):
                 raise ValueError(
                     "uploaded handle does not match items (count or "
-                    "timestamps differ) — pass the handle returned by "
+                    "identity differ) — pass the handle returned by "
                     "upload_batch for this exact chunk"
                 )
             if self.st.status == "OK":

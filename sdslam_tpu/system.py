@@ -55,6 +55,10 @@ class SDSlamSystem:
         self._build()
         self.loop_closing_enabled = loop_closing
         self.localization_only = False
+        # cooperative stop flag (System::RequestStop — set by the viewer's
+        # "Stop and Save" menu button, consumed by the front-end loop which
+        # exits and saves the trajectory, Viewer.cc:68-84)
+        self.stop_requested = False
 
     def _build(self):
         if self.sensor == RGBD:
@@ -156,6 +160,12 @@ class SDSlamSystem:
     # ------------------------------------------------------------------
     # modes / reset / state (System.cc:236-276)
     # ------------------------------------------------------------------
+
+    def request_stop(self):
+        """Ask the owning front-end loop to stop after the current frame
+        and save the trajectory (System::RequestStop; the reference's main
+        loops poll StopRequested each iteration, monocular.cc:132-177)."""
+        self.stop_requested = True
 
     def activate_localization_mode(self):
         """Track against the frozen map; no new keyframes or points."""

@@ -14,6 +14,7 @@ that any browser can watch while a CLI run or StreamRunner is tracking:
     POST /localization/<on|off> -> queue localization toggle (menu toggle)
     POST /plane/add          -> queue AR plane detection (menu "Add plane")
     POST /plane/clear        -> clear AR planes          (menu "Clear planes")
+    POST /stop_save          -> request stop+save        (menu "Stop and Save")
 
 The menu actions mirror the Pangolin buttons (Viewer.cc:112-120), INCLUDING
 the deferred-application pattern: Pangolin menu clicks set flags the
@@ -53,6 +54,7 @@ _PAGE = """<!doctype html>
  <button onclick="fetch('/localization/off',{{method:'POST'}})">Localization off</button>
  <button onclick="fetch('/plane/add',{{method:'POST'}})">Add AR plane</button>
  <button onclick="fetch('/plane/clear',{{method:'POST'}})">Clear planes</button>
+ <button onclick="fetch('/stop_save',{{method:'POST'}})">Stop and Save</button>
 </p>
 <img id="map" src="/map.png"> <img id="frame" src="/frame.png">
 <script>
@@ -91,6 +93,10 @@ class LiveViewer:
         # pattern, Viewer.cc:112-120)
         self._actions: list = []
         self.planes: list = []  # detected AR planes [(normal, d, n_inliers)]
+        # plane detections staged as async device->host copies (finished on
+        # a later frame boundary — a synchronous fetch here can cost
+        # 200-350 ms per array in degraded link regimes)
+        self._staged_planes: list = []
         # the tracking side polls this viewer (SDSlamSystem._after_frame)
         setattr(system, "_live_viewer", self)
 
@@ -118,23 +124,54 @@ class LiveViewer:
             elif a == "localization_off":
                 self.system.deactivate_localization_mode()
             elif a == "plane_add":
-                self._detect_plane()
+                self._stage_plane()
             elif a == "plane_clear":
                 self.planes.clear()
+                self._staged_planes.clear()
+            elif a == "stop_save":
+                # System::RequestStop (Viewer.cc "Stop and Save"): the
+                # front-end loop exits at this frame boundary and saves
+                self.system.request_stop()
+        self._finish_planes()
         return actions
 
-    def _detect_plane(self):
-        """AR plane RANSAC over the current map points (menu "Add plane",
-        Viewer.cc:112-120 / FrameDrawer::DetectPlane)."""
-        from sdslam_tpu import viewer as V
+    def _stage_plane(self):
+        """Stage an AR plane detection (menu "Add plane", Viewer.cc:112-120
+        / FrameDrawer::DetectPlane): dispatch ASYNC device->host copies of
+        the point cloud now; the RANSAC runs at a later frame boundary once
+        the copies land (`_finish_planes`). jnp.copy makes independent
+        buffers so the fused step's donation of ms cannot invalidate them."""
+        import jax.numpy as jnp
 
         tr = self.system.tracker
-        pts = np.asarray(tr.ms.pt_pos)[np.asarray(tr.ms.pt_valid)]
-        res = V.detect_plane(pts, seed=len(self.planes))
-        if res is not None:
-            # keep the point snapshot: the inlier mask indexes it, and
-            # draw_ar anchors the grid on the inlier centroid
-            self.planes.append({"plane": res, "points": pts})
+        pos = jnp.copy(tr.ms.pt_pos)
+        valid = jnp.copy(tr.ms.pt_valid)
+        for a in (pos, valid):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests with numpy state)
+                pass
+        self._staged_planes.append((pos, valid))
+
+    def _finish_planes(self):
+        """Complete staged plane detections whose host copies are ready."""
+        from sdslam_tpu import viewer as V
+
+        still = []
+        for pos, valid in self._staged_planes:
+            ready = all(
+                getattr(a, "is_ready", lambda: True)() for a in (pos, valid)
+            )
+            if not ready:
+                still.append((pos, valid))
+                continue
+            pts = np.asarray(pos)[np.asarray(valid)]
+            res = V.detect_plane(pts, seed=len(self.planes))
+            if res is not None:
+                # keep the point snapshot: the inlier mask indexes it, and
+                # draw_ar anchors the grid on the inlier centroid
+                self.planes.append({"plane": res, "points": pts})
+        self._staged_planes = still
 
     # -- render producers ---------------------------------------------------
 
@@ -215,7 +252,10 @@ class LiveViewer:
                 getattr(self.system, "localization_only", False)
             ),
             "planes": len(self.planes),
-            "pending_actions": len(self._actions),
+            "pending_actions": len(self._actions) + len(self._staged_planes),
+            "stop_requested": bool(
+                getattr(self.system, "stop_requested", False)
+            ),
         }
 
     def _cached(self, key: str, producer) -> bytes:
@@ -275,6 +315,7 @@ class LiveViewer:
                     "/localization/off": "localization_off",
                     "/plane/add": "plane_add",
                     "/plane/clear": "plane_clear",
+                    "/stop_save": "stop_save",
                 }
                 a = actions.get(self.path)
                 if a is None:

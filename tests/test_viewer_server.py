@@ -44,6 +44,10 @@ class _Sys:
     def deactivate_localization_mode(self):
         self.calls.append("loc_off")
 
+    def request_stop(self):
+        self.calls.append("stop")
+        self.stop_requested = True
+
 
 def _get(port, path):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
@@ -93,10 +97,24 @@ def test_viewer_server_endpoints():
         )
         sysm.tracker.ms.pt_valid = np.ones(30, bool)
         assert _post(port, "/plane/add") == 200
-        v.apply_pending()
+        # plane detection is staged as an async device->host copy and
+        # completes at a later frame boundary (advisor r3: a synchronous
+        # fetch stalls the frame loop in degraded link regimes)
+        for _ in range(50):
+            v.apply_pending()
+            if v.planes:
+                break
         assert len(v.planes) == 1
         assert _post(port, "/plane/clear") == 200
         v.apply_pending()
         assert len(v.planes) == 0
+        # "Stop and Save" (Viewer.cc:68-84 -> System::RequestStop): queued,
+        # then applied at the frame boundary
+        assert _post(port, "/stop_save") == 200
+        assert "stop" not in sysm.calls
+        v.apply_pending()
+        assert sysm.calls[-1] == "stop" and sysm.stop_requested
+        s = json.loads(_get(port, "/status.json")[2])
+        assert s["stop_requested"] is True
     finally:
         v.stop()
