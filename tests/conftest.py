@@ -65,3 +65,26 @@ def pytest_configure(config):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Keep the unmeasured north-star metric VISIBLE (VERDICT r3 weak #7):
+    the TUM/EuRoC ATE regressions skip silently when no sequence is on
+    disk; print a loud line so every run records the gap and the one
+    command that closes it."""
+    tum = os.environ.get(
+        "SDSLAM_TUM_ROOT", "/root/datasets/rgbd_dataset_freiburg1_xyz"
+    )
+    euroc = os.environ.get("SDSLAM_EUROC_ROOT", "/root/datasets/MH_01_easy")
+    missing = [p for p in (tum, euroc) if not os.path.isdir(p)]
+    if missing:
+        terminalreporter.section("north-star dataset regressions")
+        for p in missing:
+            terminalreporter.write_line(
+                f"NOT MEASURED: real-dataset ATE (no sequence at {p})"
+            )
+        terminalreporter.write_line(
+            "To activate: place/point SDSLAM_TUM_ROOT / SDSLAM_EUROC_ROOT "
+            "at real sequences, then run "
+            "`python scripts/check_datasets.py` for the exact pytest command."
+        )
