@@ -40,7 +40,9 @@ class PlaneScene(NamedTuple):
     biases: jnp.ndarray  # [P+B]
 
 
-def make_room_scene(seed: int = 0, n_waves: int = 48, size: float = 2.5) -> PlaneScene:
+def make_room_scene(
+    seed: int = 0, n_waves: int = 48, size: float = 2.5, closed: bool = False
+) -> PlaneScene:
     """Room around the origin; camera conventions: x right, y down, z forward.
 
     Default size 2.5 m puts surfaces at 0.8-2.5 m: close enough that camera
@@ -101,6 +103,18 @@ def make_room_scene(seed: int = 0, n_waves: int = 48, size: float = 2.5) -> Plan
         us.append((a * eu).astype(np.float32))
         vs.append((b * ev).astype(np.float32))
     biases = rng.uniform(0.35, 0.65, size=len(normals) + n_rect).astype(np.float32)
+    if closed:
+        # front wall at z = -size: makes the room watertight so a camera
+        # yawing through 360 deg (circuit trajectories for organic
+        # loop-closure tests) always sees finite depth. Appended AFTER all
+        # other rng draws so closed=False scenes are bit-identical to r3.
+        normals = np.concatenate([normals, [[0.0, 0.0, 1.0]]]).astype(np.float32)
+        offsets = np.concatenate([offsets, [-size]]).astype(np.float32)
+        biases = np.concatenate(
+            [biases[: len(normals) - 1],
+             rng.uniform(0.35, 0.65, size=1).astype(np.float32),
+             biases[len(normals) - 1:]]
+        )
     return PlaneScene(
         jnp.asarray(normals),
         jnp.asarray(offsets),
@@ -198,6 +212,29 @@ def orbit_trajectory(n_frames: int, radius: float = 0.4, yaw_amp: float = 0.12, 
     return jnp.asarray(np.stack(poses))
 
 
+def circuit_trajectory(n_frames: int, radius: float = 0.8):
+    """Closed circuit: the camera walks a full circle of the given radius,
+    heading along the tangent, so yaw sweeps 360 deg and each path segment
+    sees a DIFFERENT part of the room — features are locally scoped and the
+    revisit at the end can only be reconciled by loop closure (organic
+    drift-accumulation workload; use with make_room_scene(closed=True)).
+
+    Starts at the origin looking +z; circle center at (radius, 0, 0)."""
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        c = np.array(
+            [radius * (1 - np.cos(th)), 0.0, radius * np.sin(th)], np.float32
+        )
+        Rwc = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0], jnp.float32)))
+        Rcw = Rwc.T
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ c
+        poses.append(T)
+    return jnp.asarray(np.stack(poses))
+
+
 def forward_trajectory(n_frames: int, step: float = 0.02, yaw_rate: float = 0.0):
     """Straight-ish dolly forward, constant velocity (EKF-friendly)."""
     poses = []
@@ -213,6 +250,55 @@ def forward_trajectory(n_frames: int, step: float = 0.02, yaw_rate: float = 0.0)
     return jnp.asarray(np.stack(poses))
 
 
+def make_dist_ba_problem(rng, K, P, Mo, cam, noise_px: float = 0.01):
+    """Production-shaped synthetic BA problem as flat arrays (numpy), for
+    the distributed-BA scaling harness (scripts/dist_scaling.py) and the
+    driver's multi-chip dry run: K keyframes, P points, E = P*Mo stereo
+    observations with per-camera keypoint tables.
+
+    Returns (T0 [K,4,4] perturbed initial poses, X0 [P,3] perturbed points,
+    obs_kf [P,Mo] (-1 = dropped), obs_kp [P,Mo], kf_uv [K,N,2],
+    kf_ur [K,N], kf_oct [K,N], T_gt, X_gt)."""
+    pts = rng.uniform([-3, -2, 1], [3, 2, 8], (P, 3)).astype(np.float32)
+    kf_T = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    kf_T[:, :3, 3] = rng.uniform(-0.8, 0.8, (K, 3)).astype(np.float32)
+    obs_cam = rng.integers(0, K, (P, Mo)).astype(np.int32)
+    Tpm = kf_T[obs_cam]
+    Xc = np.einsum("pmij,pj->pmi", Tpm[..., :3, :3], pts) + Tpm[..., :3, 3]
+    u = cam.fx * Xc[..., 0] / Xc[..., 2] + cam.cx
+    v = cam.fy * Xc[..., 1] / Xc[..., 2] + cam.cy
+    ur = u - cam.bf / Xc[..., 2]
+
+    # per-camera keypoint slot assignment (vectorized cumcount by camera)
+    N = Mo * (P // K + 2)
+    flat_c = obs_cam.ravel()
+    order = np.argsort(flat_c, kind="stable")
+    sc = flat_c[order]
+    first = np.r_[True, sc[1:] != sc[:-1]]
+    grp = np.cumsum(first) - 1
+    starts = np.flatnonzero(first)
+    rank = np.arange(sc.size) - starts[grp]
+    kp = np.empty(sc.size, np.int64)
+    kp[order] = rank
+    keep = kp < N
+    obs_kp = np.where(keep, kp, 0).reshape(P, Mo).astype(np.int32)
+    obs_kf = np.where(keep.reshape(P, Mo), obs_cam, -1).astype(np.int32)
+
+    kf_uv = np.zeros((K, N, 2), np.float32)
+    kf_ur = np.full((K, N), -1.0, np.float32)
+    kf_oct = np.zeros((K, N), np.int32)
+    uv_flat = np.stack([u.ravel(), v.ravel()], -1).astype(np.float32)
+    uv_flat += rng.normal(0, noise_px, uv_flat.shape).astype(np.float32)
+    sel = np.flatnonzero(keep)
+    kf_uv[flat_c[sel], kp[sel]] = uv_flat[sel]
+    kf_ur[flat_c[sel], kp[sel]] = ur.ravel()[sel]
+
+    T0 = kf_T.copy()
+    T0[1:, :3, 3] += rng.normal(0, 0.01, (K - 1, 3)).astype(np.float32)
+    X0 = pts + rng.normal(0, 0.02, (P, 3)).astype(np.float32)
+    return T0, X0, obs_kf, obs_kp, kf_uv, kf_ur, kf_oct, kf_T, pts
+
+
 class SyntheticSequence:
     """Dataset-like iterable of (timestamp, image, depth) with GT poses."""
 
@@ -223,12 +309,15 @@ class SyntheticSequence:
         trajectory: str = "orbit",
         seed: int = 0,
         fps: float = 30.0,
+        scene_kwargs: dict = None,
         **traj_kwargs,
     ):
         self.cam = cam
-        self.scene = make_room_scene(seed=seed)
+        self.scene = make_room_scene(seed=seed, **(scene_kwargs or {}))
         if trajectory == "orbit":
             self.poses = orbit_trajectory(n_frames, **traj_kwargs)
+        elif trajectory == "circuit":
+            self.poses = circuit_trajectory(n_frames, **traj_kwargs)
         elif trajectory == "forward":
             self.poses = forward_trajectory(n_frames, **traj_kwargs)
         elif trajectory == "custom":

@@ -44,8 +44,14 @@ LANES = 128
 # grid steps of 4 KB-per-channel DMAs — per-step issue latency dominated
 # (measured 30 GB/s ~ 4% of roofline). TR=32 keeps VMEM modest (442 KB in
 # + 901 KB out per step, ~2.7 MB double-buffered) with 4x fewer steps and
-# 4x larger DMAs. scripts/diag_kernels.py sweeps TR on real hardware.
+# 4x larger DMAs. r4 slope-timed sweep (scripts/diag_ba_launch.py): at the
+# production 20k-edge size a SINGLE grid step (TR=160) reaches 81% of HBM
+# roofline vs 62% for TR=32, so small problems run un-tiled; larger ones
+# keep TR=32 (TR>=1024 fails to compile; 32 measured 51% at 131k edges).
 TR = 32
+# single-step threshold: problems up to this many sublane rows (R = E/128)
+# run as one grid step
+TR_SINGLE_MAX = 160
 
 
 def _kernel(fx, fy, cx, cy, bf, use_huber, in_ref, out_ref):
@@ -162,13 +168,17 @@ def ba_edge_terms(
     bf: float,
     use_huber: bool,
     interpret: bool = False,
-    tr: int = TR,
+    tr: int = 0,
 ):
     """Returns [55, E] f32 per-edge outputs (see module docstring for the
     channel map). E is padded internally to a tr*128 multiple; padded edges
-    must carry mask channel 24 == 0. `tr` = sublanes per grid step."""
+    must carry mask channel 24 == 0. `tr` = sublanes per grid step
+    (0 = auto: one grid step for problems up to TR_SINGLE_MAX rows)."""
     C, E = packed.shape
     assert C == N_IN
+    if tr == 0:
+        R_full = -(-E // LANES)
+        tr = R_full if R_full <= TR_SINGLE_MAX else TR
     tile = tr * LANES
     pad = (-E) % tile
     if pad:

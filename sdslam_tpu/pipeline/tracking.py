@@ -73,6 +73,7 @@ def _track_core(
     n_levels: int = 5,
     align_min_level: int = 2,
     th_radius=1.0,  # traced: 1 mono / 3 RGB-D / 5 just-relocalized
+    pose_gn_schedule=((2, 4), (2, 5)),  # (rounds, iters) for the 2 solves
 ) -> TrackOutput:
     # --- 1. direct sparse image alignment against the REFERENCE KEYFRAME
     # (BA-refined anchor; aligning to the drifting last frame would compound
@@ -111,6 +112,9 @@ def _track_core(
         max_level=n_levels - 1,
         min_level=align_min_level,
         start_level=KF_STORE_MIN_LEVEL,
+        # per-frame hot path: whole-level GN loop in one pallas launch
+        # (on TPU; no-op on other backends)
+        fused=True,
     )
     T_init = ares.T_cur_ref @ T_ref
 
@@ -180,7 +184,7 @@ def _track_core(
     v1 = assoc1 >= 0
     opt1 = pose_opt.optimize_pose(
         cam, T_init, X1, uv_und, inv_sigma2, v1, ur_obs=uright,
-        rounds=2, iters_per_round=4,
+        rounds=pose_gn_schedule[0][0], iters_per_round=pose_gn_schedule[0][1],
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
 
@@ -213,7 +217,7 @@ def _track_core(
     v2 = assoc2 >= 0
     opt2 = pose_opt.optimize_pose(
         cam, opt1.Tcw, X2, uv_und, inv_sigma2, v2, ur_obs=uright,
-        rounds=2, iters_per_round=5,
+        rounds=pose_gn_schedule[1][0], iters_per_round=pose_gn_schedule[1][1],
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
     )
     final_assoc = jnp.where(v2 & opt2.inliers, assoc2, -1)
@@ -241,7 +245,8 @@ def _track_core(
 
 
 track_step = functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "align_min_level")
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels",
+                              "align_min_level", "pose_gn_schedule")
 )(_track_core)
 
 
@@ -339,6 +344,7 @@ def _kf_core(
     scale_factor: float = 2.0,
     n_levels: int = 5,
     covis_min: int = 15,
+    ba_schedule=(3, 5),
 ):
     """The whole keyframe-cadence mapping pass as ONE device program:
     slot allocation -> insertion -> neighbor fusion -> statistics ->
@@ -359,7 +365,7 @@ def _kf_core(
     ms = LM.fuse_neighbors(cam, ms, slot, scale_factor=scale_factor, covis=covis)
     ms = ba.local_ba(
         cam, ms, slot, scale_factor=scale_factor, covis_min=covis_min,
-        covis=covis,
+        covis=covis, iters1=ba_schedule[0], iters2=ba_schedule[1],
     )
     ms = spawn_points(
         cam, ms, slot, close_depth_th, scale_factor=scale_factor,
@@ -402,7 +408,8 @@ def _kf_core(
 
 
 kf_pipeline = functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "covis_min")
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "covis_min",
+                              "ba_schedule")
 )(_kf_core)
 
 
@@ -619,6 +626,8 @@ class RGBDTracker:
         nl = cfg.orb.n_levels
         aml = cfg.tracking.align_min_level
         covis_min = cfg.map.covis_min_weight
+        pose_sched = tuple(tuple(x) for x in cfg.tracking.pose_gn_schedule)
+        ba_sched = tuple(cfg.tracking.ba_schedule)
         kf_interval = max(3, cfg.tracking.max_frames // 10)
         depth_factor = float(cfg.tracking.depth_map_factor)
         close_depth = self.close_depth if np.isfinite(self.close_depth) else 1e9
@@ -653,7 +662,7 @@ class RGBDTracker:
                 feats.uv_und, feats.desc, feats.octave, feats.valid,
                 uright, pyramid, dst.last_kf_slot, T_pred,
                 scale_factor=sf, n_levels=nl, align_min_level=aml,
-                th_radius=th_radius,
+                th_radius=th_radius, pose_gn_schedule=pose_sched,
             )
             n_inl = out.n_inliers
             track_ok = n_inl >= 10
@@ -677,6 +686,7 @@ class RGBDTracker:
                     dst.frame_id, ts, dst.last_kf_slot,
                     jnp.asarray(close_depth, jnp.float32),
                     scale_factor=sf, n_levels=nl, covis_min=covis_min,
+                    ba_schedule=ba_sched,
                 )
                 return ms2, slot, Tcw_ref
 

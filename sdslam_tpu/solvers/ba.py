@@ -365,18 +365,20 @@ def _gn_iteration(
     i21 = -l21 * i11 * i22
     # Linv rows: [[i00,0,0],[i10,i11,0],[i20,i21,i22]]
 
-    # V = edge->camera aggregation of W = Jc^T w Jp (channel-major [18,P,M])
+    # V = edge->camera aggregation of W = Jc^T w Jp, emitted DIRECTLY in
+    # the Schur layout [K,6,P,3] (r4: the previous [P,K,6,3] order forced a
+    # ~0.26 ms/iteration transpose copy before the S matmul — the einsum's
+    # output order is free)
     V = hp(
-        "pmk,wpm->pkw",
+        "pmk,ijpm->kipj",
         es.cam_onehot * obs_ok[..., None].astype(f32),
-        W_pm.reshape(18, P, Mo),
-    )
-    V = V.reshape(P, K, 6, 3)
+        W_pm.reshape(6, 3, P, Mo),
+    )  # [K,6,P,3]
 
     # Z = V Linv^T (so V Hpp^-1 V^T = Z Z^T): LinvT is upper-triangular, so
-    # the per-point right-multiply is 6 fused multiply-adds on [P,K,6]
+    # the per-point right-multiply is 6 fused multiply-adds on [K,6,P]
     # slices — a dot_general here forced ~0.2 ms of layout copies per iter
-    b1 = lambda a: a[:, None, None]  # [P] -> [P,1,1]
+    b1 = lambda a: a[None, None, :]  # [P] -> [1,1,P]
     V0, V1, V2 = V[..., 0], V[..., 1], V[..., 2]
     Z = jnp.stack(
         [
@@ -385,15 +387,15 @@ def _gn_iteration(
             V0 * b1(i20) + V1 * b1(i21) + V2 * b1(i22),
         ],
         axis=-1,
-    )  # [P,K,6,3]
-    Zt = Z.transpose(1, 2, 0, 3).reshape(K * 6, P * 3)
+    )  # [K,6,P,3]
+    Zt = Z.reshape(K * 6, P * 3)
     S_dense = -(Zt @ Zt.T)  # ONE MXU matmul, [6K, 3P] x [3P, 6K]
     S_dense = S_dense.reshape(K, 6, K, 6)
     KI = jnp.arange(K)
 
     # reduced gradient: bs = bc - V Hpp^-1 bp
     ybp = hp("pij,pj->pi", Hpp_inv, bp)  # [P,3]
-    bs = bc - hp("pkic,pc->ki", V, ybp)
+    bs = bc - hp("kipc,pc->ki", V, ybp)
 
     # camera damping + fixed-camera prior; the Schur diagonal trace comes
     # from Z row norms (tr of -Z Z^T block k = -sum of its row norms), so
@@ -594,6 +596,8 @@ def local_ba(
     covis=None,
     max_local_kfs: int = 24,
     max_local_pts: int = 2048,
+    iters1: int = 3,
+    iters2: int = 5,
 ) -> M.MapState:
     """Local BA around a keyframe: optimize it + its covisible neighbors +
     their points; frontier KFs observing those points stay fixed
@@ -675,13 +679,15 @@ def local_ba(
     pt_act = pt_in & ((n_obs >= 2) | (n_stereo >= 1))
     obs_ok = obs_ok & pt_act[:, None]
 
-    # LM schedule 3+5 (reference: 5+10, Optimizer.cc:608-653): every local
-    # BA here starts from the previous BA's refined state at keyframe
-    # cadence, so fewer iterations converge — ATE on the synthetic
-    # benchmark is unchanged between 4+6 and 3+5 (0.133 cm both)
+    # LM schedule default 3+5 (reference: 5+10, Optimizer.cc:608-653):
+    # every local BA here starts from the previous BA's refined state at
+    # keyframe cadence, so fewer iterations converge — ATE on the synthetic
+    # benchmark is unchanged between 4+6 and 3+5 (0.133 cm both), and
+    # tests/test_schedule_stress.py gates the trimmed schedule against the
+    # reference-length one on fast motion (TrackingConfig.ba_schedule)
     T_new, X_new, obs_in, _ = _ba_core(
         cam, sub_T, sub_X, es, obs_ok, cam_act, pt_act,
-        scale_factor, 3, 5, 1e-4,
+        scale_factor, iters1, iters2, 1e-4,
     )
 
     # --- scatter back ---

@@ -109,12 +109,34 @@ def _solve6(H, b, lm_lambda=1e-5):
     return jax.scipy.linalg.cho_solve((L, lower), b)
 
 
-def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_l, iters):
+def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l,
+                 cy_l, iters, fused=False):
     """GN iterations at one level (inverse compositional: J fixed)."""
     H = jnp.einsum("npi,npj->ij", jnp.where(ok[..., None], J, 0.0), J)
     use_kernel = _align_kernel_enabled()
     if use_kernel:
         from sdslam_tpu.ops.pallas import align_kernel as ak
+
+    if fused and use_kernel:
+        # whole-level GN loop in ONE pallas launch (align_kernel.align_level):
+        # per-iteration launches/op-dispatch gaps dominate the level cost
+        # in every tunnel regime, so the hot single-alignment path (the
+        # per-frame tracker) runs the loop in-kernel. Vmapped callers
+        # (relocalization scan, loop detection) keep the per-iteration path.
+        import jax as _jax
+
+        Hr = H + 1e-5 * jnp.eye(6, dtype=H.dtype) * jnp.maximum(
+            jnp.trace(H) / 6.0, 1e-8
+        )
+        L, lower = jax.scipy.linalg.cho_factor(Hr, lower=True)
+        Hinv = jax.scipy.linalg.cho_solve((L, lower), jnp.eye(6, dtype=H.dtype))
+        interp_mode = _jax.devices()[0].platform != "tpu"
+        return ak.align_level(
+            cur_img, X_ref, ref_patch, J, ok,
+            Hinv, jnp.asarray(T_init, jnp.float32),
+            float(fx_l), float(fy_l), float(cx_l), float(cy_l),
+            iters=iters, interpret=interp_mode,
+        )
 
     def gn_terms(T):
         """(b [6], chi2, n) at iterate T — fused Pallas sample+accumulate on
@@ -180,7 +202,7 @@ def _align_level(cur_img, T_init, X_ref, ref_patch, J, ok, fx_l, fy_l, cx_l, cy_
     jax.jit,
     static_argnames=(
         "fx", "fy", "cx", "cy", "scale_factor", "max_level", "min_level",
-        "iters", "start_level",
+        "iters", "start_level", "fused",
     ),
 )
 def align(
@@ -199,6 +221,7 @@ def align(
     min_level: int = 2,
     iters: int = 30,
     start_level: int = 0,
+    fused: bool = False,
 ) -> AlignResult:
     """Coarse-to-fine sparse LK alignment. Returns T such that
     X_cur = T @ X_ref.
@@ -218,6 +241,7 @@ def align(
         uv_l = uv_ref * s
         patch, J, ok = _precompute_level(ref_img, uv_l, X_ref, valid, fx * s, fy * s)
         T, chi2, n = _align_level(
-            cur_img, T, X_ref, patch, J, ok, fx * s, fy * s, cx * s, cy * s, iters
+            cur_img, T, X_ref, patch, J, ok, fx * s, fy * s, cx * s, cy * s,
+            iters, fused=fused,
         )
     return AlignResult(T, chi2, n)

@@ -47,6 +47,14 @@ class TrackingConfig:
     align_min_level: int = 2
     align_min_level_kf: int = 4  # KF<->KF loop check: coarsest level only
     align_iters: int = 30
+    # GN/LM iteration schedules. Defaults are the trimmed TPU schedules
+    # (every solve starts from the previous refined state at frame/KF
+    # cadence); the reference's longer schedules — pose 4 rounds x 10
+    # (Optimizer.cc:343-407), local BA 5+10 (:608-653) — are available for
+    # degraded conditions, and tests/test_schedule_stress.py gates the
+    # trimmed defaults against them on fast-motion sequences.
+    pose_gn_schedule: tuple = ((2, 4), (2, 5))  # (rounds, iters) per solve
+    ba_schedule: tuple = (3, 5)  # local BA iters before/after outlier pass
 
 
 @dataclass(frozen=True)

@@ -99,3 +99,76 @@ def test_ba_edge_kernel_matches_xla_gn():
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_x), atol=5e-5)
     np.testing.assert_allclose(np.asarray(X_p), np.asarray(X_x), atol=5e-5)
+
+
+def test_fused_align_level_matches_xla_loop():
+    """align_level (whole GN loop in one launch, interpret mode) must
+    converge to the XLA per-iteration loop's pose on a planar photometric
+    problem — same math, same stopping rule (ImageAlign.cc:234-279)."""
+    from sdslam_tpu.geometry import lie
+    from sdslam_tpu.solvers import image_align as ia
+
+    rng = np.random.default_rng(3)
+    H, W = 120, 160
+    fx = fy = 120.0
+    cx, cy = 79.5, 59.5
+
+    # world texture on the z=2 plane, smooth broadband
+    freqs = rng.uniform(0.5, 12.0, (24, 2))
+    phases = rng.uniform(0, 2 * np.pi, 24)
+    amps = 1.0 / np.sqrt(freqs[:, 0] ** 2 + freqs[:, 1] ** 2)
+
+    def tex(xy):
+        ph = xy @ freqs.T + phases
+        return 128.0 + 60.0 * (np.sin(ph) @ amps) / np.abs(amps).sum()
+
+    def render(Tcw):
+        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+        Twc = np.linalg.inv(Tcw)
+        d = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        dw = d @ Twc[:3, :3].T
+        o = Twc[:3, 3]
+        t = (2.0 - o[2]) / dw[..., 2]
+        X = o + t[..., None] * dw
+        return tex(X[..., :2]).astype(np.float32)
+
+    T_true = np.asarray(lie.se3_exp(jnp.asarray(
+        [0.01, -0.008, 0.012, 0.004, -0.003, 0.002], jnp.float32)))
+    img_ref = render(np.eye(4))
+    img_cur = render(T_true)
+
+    N = 300
+    uv = rng.uniform([8, 8], [W - 9, H - 9], (N, 2)).astype(np.float32)
+    z = np.full((N,), 2.0, np.float32)
+    X = np.stack([(uv[:, 0] - cx) / fx * z, (uv[:, 1] - cy) / fy * z, z], -1)
+    valid = jnp.ones((N,), bool)
+
+    patch, J, ok = ia._precompute_level(
+        jnp.asarray(img_ref), jnp.asarray(uv), jnp.asarray(X), valid, fx, fy
+    )
+    T0 = jnp.eye(4, dtype=jnp.float32)
+
+    saved = ia._ALIGN_KERNEL
+    try:
+        ia._ALIGN_KERNEL = False
+        T_x, chi_x, n_x = ia._align_level(
+            jnp.asarray(img_cur), T0, jnp.asarray(X), patch, J, ok,
+            fx, fy, cx, cy, 30)
+        ia._ALIGN_KERNEL = True  # force the kernel gate on CPU
+        T_f, chi_f, n_f = ia._align_level(
+            jnp.asarray(img_cur), T0, jnp.asarray(X), patch, J, ok,
+            fx, fy, cx, cy, 30, fused=True)
+    finally:
+        ia._ALIGN_KERNEL = saved
+
+    # both converge to the true motion
+    err_x = np.asarray(lie.se3_log(jnp.asarray(
+        np.asarray(T_x) @ np.linalg.inv(T_true))))
+    err_f = np.asarray(lie.se3_log(jnp.asarray(
+        np.asarray(T_f) @ np.linalg.inv(T_true))))
+    assert np.linalg.norm(err_x[:3]) < 2e-3
+    assert np.linalg.norm(err_f[:3]) < 2e-3
+    # and to (nearly) the same iterate
+    np.testing.assert_allclose(np.asarray(T_f), np.asarray(T_x), atol=2e-4)
+    assert abs(float(chi_f) - float(chi_x)) < 1e-4
