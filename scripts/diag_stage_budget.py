@@ -132,9 +132,40 @@ def main():
     from sdslam_tpu.mapping import map_state as M
     from sdslam_tpu.solvers import ba
 
-    covis = M.covisibility(ms)
+    inc = M.incidence_matrix(ms)
+    covis = M.covisibility(ms, inc=inc)
+    obs_cnt_inc = M.point_obs_count_from_inc(ms, inc)
     obs_lists = M.build_obs_lists(ms, 16)
     rows = (covis[slot] > 0) | (jnp.arange(ms.K) == slot)
+    touched = jnp.dot(
+        rows.astype(jnp.bfloat16), inc, preferred_element_type=jnp.float32
+    ) > 0
+
+    # ---- the WHOLE fused mapping pass, as the tracker runs it ----------
+    ts1, img1, dep1 = frames[-1]
+    fr1 = make_frame(tr.extractor, img1,
+                     depth_img=np.asarray(dep1, np.float32) / 1000.0)
+    f1 = fr1.features
+    stored_pyr = tuple(fr1.pyramid[T.KF_STORE_MIN_LEVEL:])
+    assoc0 = jnp.full((f1.uv.shape[0],), -1, jnp.int32)
+
+    def kf_core_body(i):
+        ms2, s2, _, _ = T._kf_core(
+            cam, ms, ms.kf_Tcw[slot] + zf(i),
+            f1.uv, f1.uv_und, f1.octave, f1.angle, f1.desc, f1.valid,
+            fr1.depth, fr1.uright, assoc0, stored_pyr,
+            jnp.asarray(99, jnp.int32), jnp.asarray(3.3, jnp.float32), slot,
+            jnp.asarray(4.0, jnp.float32),
+            scale_factor=sf, n_levels=nl,
+        )
+        return jnp.sum(ms2.kf_Tcw) + s2.astype(jnp.float32)
+
+    try:
+        dt = slope(kf_core_body, reps=(8, 40))
+        print(f"KF WHOLE _kf_core pass          : {dt*1e3:7.3f} ms", flush=True)
+    except Exception as e:
+        print(f"KF WHOLE _kf_core pass          : FAIL {type(e).__name__} "
+              f"{str(e)[:120]}", flush=True)
 
     stages = [
         ("covisibility", lambda i: jnp.sum(
@@ -147,12 +178,13 @@ def main():
         ).astype(jnp.float32)),
         ("fuse_neighbors", lambda i: jnp.sum(
             LM.fuse_neighbors(
-                cam, ms, slot + z(i), scale_factor=sf, covis=covis
+                cam, ms, slot + z(i), scale_factor=sf, covis=covis,
+                obs_cnt=obs_cnt_inc,
             ).kf_mp
         ).astype(jnp.float32)),
         ("local_ba (3+5)", lambda i: jnp.sum(
-            ba.local_ba(cam, ms, slot + z(i), scale_factor=sf, covis=covis
-                        ).kf_Tcw
+            ba.local_ba(cam, ms, slot + z(i), scale_factor=sf, covis=covis,
+                        inc=inc).kf_Tcw
         )),
         ("spawn_points", lambda i: jnp.sum(
             T.spawn_points(cam, ms, slot + z(i),
@@ -180,7 +212,8 @@ def main():
         ).astype(jnp.float32)),
         ("finalize_stats_local", lambda i: jnp.sum(
             M.finalize_point_statistics_local(
-                ms, rows | (z(i) > 0), sf, nl, obs_lists=obs_lists
+                ms, rows | (z(i) > 0), sf, nl, obs_lists=obs_lists,
+                touched=touched | (z(i) > 0),
             ).pt_max_dist
         )),
         ("insert_keyframe+stats", lambda i: jnp.sum(

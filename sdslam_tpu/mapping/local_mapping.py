@@ -117,6 +117,7 @@ def fuse_neighbors(
     scale_factor: float = 2.0,
     n_neighbors: int = 3,
     covis=None,
+    obs_cnt=None,  # [P] observer counts (derived from shared incidence)
 ) -> M.MapState:
     """SearchInNeighbors: two-way observation fusion between a keyframe and
     its top covisible neighbors.
@@ -134,7 +135,8 @@ def fuse_neighbors(
     # direction A: neighbors' points -> this KF
     neigh_pts = ms.kf_mp[neigh].reshape(-1)  # [C*N]
     neigh_pts = jnp.where(jnp.repeat(neigh_ok, ms.N), neigh_pts, -1)
-    obs_cnt = M.point_obs_count(ms)
+    if obs_cnt is None:
+        obs_cnt = M.point_obs_count(ms)
     # dedupe against this KF happens inside _fuse_into_kf
     new_row, rep_a = _fuse_into_kf(
         cam, ms, kf_slot, neigh_pts, scale_factor, obs_cnt=obs_cnt

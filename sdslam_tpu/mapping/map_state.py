@@ -183,12 +183,16 @@ def incidence_matrix(ms: MapState, dtype=jnp.bfloat16):
     return inc
 
 
-def covisibility(ms: MapState):
+def covisibility(ms: MapState, inc=None):
     """[K,K] int32 shared-observation counts (diagonal zeroed).
 
     One MXU matmul over the incidence matrix — the TPU-native
-    KeyFrame::UpdateConnections."""
-    inc = incidence_matrix(ms)
+    KeyFrame::UpdateConnections. Pass a precomputed `inc` to share the
+    [K*N]-element incidence scatter (~0.65 ms at 64x1024 pools — the
+    single biggest fixed cost of every consumer) across the derived
+    structures of one mapping pass."""
+    if inc is None:
+        inc = incidence_matrix(ms)
     counts = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
     counts = counts.astype(jnp.int32)
     counts = counts * (1 - jnp.eye(ms.K, dtype=jnp.int32))
@@ -203,6 +207,16 @@ def point_obs_count(ms: MapState):
     cnt = cnt.at[jnp.clip(obs, 0, ms.P - 1).ravel()].add(
         (obs >= 0).ravel().astype(jnp.int32), mode="drop"
     )
+    return cnt * ms.pt_valid
+
+
+def point_obs_count_from_inc(ms: MapState, inc):
+    """[P] observer counts derived from a precomputed incidence matrix:
+    one dense [K,P] column reduction instead of a [K*N]-element scatter.
+    Counts are per observing KEYFRAME (duplicate bindings within one row
+    dedup to 1) — the semantics every consumer (merge arbitration, culling
+    thresholds) actually wants."""
+    cnt = jnp.sum(inc.astype(jnp.float32), axis=0).astype(jnp.int32)
     return cnt * ms.pt_valid
 
 
@@ -305,6 +319,7 @@ def finalize_point_statistics_local(
     max_pts: int = 2048,
     max_obs: int = 16,
     obs_lists=None,  # optional precomputed (obs_kf, obs_kp) [P,M]
+    touched=None,  # optional precomputed [P] bool touched-point mask
 ) -> MapState:
     """finalize_point_statistics restricted to the points observed by the
     keyframe rows in `rows_mask` [K] — the only points whose observations or
@@ -320,12 +335,13 @@ def finalize_point_statistics_local(
     _point_stats_core (kf_valid check)."""
     P = ms.P
     obs = observation_table(ms)  # [K,N]
-    sel = rows_mask[:, None] & (obs >= 0)
-    touched = jnp.zeros((P,), bool)
-    touched = touched.at[jnp.where(sel, jnp.clip(obs, 0, P - 1), P)].set(
-        True, mode="drop"
-    )
-    touched &= ms.pt_valid
+    if touched is None:
+        sel = rows_mask[:, None] & (obs >= 0)
+        touched = jnp.zeros((P,), bool)
+        touched = touched.at[jnp.where(sel, jnp.clip(obs, 0, P - 1), P)].set(
+            True, mode="drop"
+        )
+    touched = touched & ms.pt_valid
     PL = min(max_pts, P)
     pt_idx, pt_in, pt_remap = compact_indices(touched, PL)
     if obs_lists is None:
@@ -580,11 +596,24 @@ def replace_points(ms: MapState, replace_map) -> MapState:
     then invalidate the replaced points (MapPoint::Replace semantics,
     MapPoint.cc:169-202). Duplicate (kf, point) bindings that may result are
     left in place; matching/BA treat them as independent edges of the same
-    point which is benign."""
-    tgt = replace_map[jnp.clip(ms.kf_mp, 0, ms.P - 1)]
-    new_mp = jnp.where((ms.kf_mp >= 0) & (tgt >= 0), tgt, ms.kf_mp)
+    point which is benign.
+
+    The redirect and the liveness scrub are folded into ONE per-point code
+    array gathered once at the [K,N] table (the redirect-then-remove
+    formulation paid two ~65k-element arbitrary gathers; each costs
+    ~10 ns/element on TPU)."""
+    P = ms.P
+    idx = jnp.arange(P, dtype=jnp.int32)
     killed = replace_map >= 0
-    return remove_points(ms._replace(kf_mp=new_mp), killed)
+    pt_valid = ms.pt_valid & (~killed)
+    final = jnp.where(killed, replace_map, idx)
+    # a winner that is itself dead (merge chain tail) yields -1, exactly as
+    # the two-pass formulation's liveness scrub did
+    code = jnp.where(pt_valid[jnp.clip(final, 0, P - 1)], final, -1)
+    new_mp = jnp.where(
+        ms.kf_mp >= 0, code[jnp.clip(ms.kf_mp, 0, P - 1)], ms.kf_mp
+    )
+    return ms._replace(pt_valid=pt_valid, kf_mp=new_mp)
 
 
 def update_tracking_counters(ms: MapState, cam, Tcw, assoc) -> MapState:

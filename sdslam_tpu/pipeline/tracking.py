@@ -358,14 +358,22 @@ def _kf_core(
         ms, slot, Tcw, uv, uv_und, octave, angle, desc, kp_valid,
         depth, uright, assoc, stored_pyr, frame_id, timestamp, parent,
     )
-    # covisibility computed once and reused by fusion/BA/triangulation
-    # (it changes only marginally within the pass; the final state is
-    # re-derived next keyframe)
-    covis = M.covisibility(ms)
-    ms = LM.fuse_neighbors(cam, ms, slot, scale_factor=scale_factor, covis=covis)
+    new_kf_id = ms.next_kf_id  # pt_first_kf stamp of points created below
+    # incidence + covisibility computed ONCE and reused by fusion/BA/
+    # triangulation/statistics (they change only marginally within the
+    # pass; the final state is re-derived next keyframe). The [K*N]-element
+    # incidence scatter is the shared fixed cost every derived structure
+    # (covis matmul, observer counts, local/frontier masks, touched-point
+    # mask) previously paid separately — ~0.65 ms each at 64x1024 pools.
+    inc = M.incidence_matrix(ms)
+    covis = M.covisibility(ms, inc=inc)
+    ms = LM.fuse_neighbors(
+        cam, ms, slot, scale_factor=scale_factor, covis=covis,
+        obs_cnt=M.point_obs_count_from_inc(ms, inc),
+    )
     ms = ba.local_ba(
         cam, ms, slot, scale_factor=scale_factor, covis_min=covis_min,
-        covis=covis, iters1=ba_schedule[0], iters2=ba_schedule[1],
+        covis=covis, inc=inc, iters1=ba_schedule[0], iters2=ba_schedule[1],
     )
     ms = spawn_points(
         cam, ms, slot, close_depth_th, scale_factor=scale_factor,
@@ -401,8 +409,26 @@ def _kf_core(
     # observed by the keyframe rows this pass touched (the new KF + its
     # covisible window — the only rows whose bindings/positions changed).
     # The O(P*M^2) recompute previously ran 3x over the full pool.
+    # Touched set from the SHARED incidence (one MXU matmul) instead of a
+    # fresh [K*N] scatter; the stale-inc holes are patched explicitly:
+    # points bound in the new KF's current row (fuse additions, depth
+    # spawns, merge winners) and points created this pass (triangulation
+    # binds some only into neighbor rows).
+    touched = (
+        jnp.dot(
+            rows.astype(jnp.bfloat16), inc,
+            preferred_element_type=jnp.float32,
+        )
+        > 0
+    )
+    row_now = ms.kf_mp[slot]
+    touched = touched.at[
+        jnp.where(row_now >= 0, row_now, ms.P)
+    ].set(True, mode="drop")
+    touched = touched | (ms.pt_first_kf == new_kf_id)
     ms = M.finalize_point_statistics_local(
-        ms, rows, scale_factor, n_levels, obs_lists=obs_lists
+        ms, rows, scale_factor, n_levels, obs_lists=obs_lists,
+        touched=touched,
     )
     return ms, slot, ms.kf_mp[slot], ms.kf_Tcw[slot]
 

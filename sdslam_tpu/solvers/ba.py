@@ -85,9 +85,19 @@ class _EdgeStatic(NamedTuple):
 def _prep_edges(obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K):
     c = jnp.clip(obs_kf, 0, K - 1)
     k = jnp.clip(obs_kp, 0, kf_uv_und.shape[1] - 1)
-    uv_obs = kf_uv_und[c, k]
-    ur_obs = kf_uright[c, k]
-    inv_sigma2 = 1.0 / scale_factor ** (2.0 * kf_octave[c, k].astype(jnp.float32))
+    # one packed (u, v, u_r, octave) gather: ~10 ns/index, 4 fields/index
+    fields = jnp.concatenate(
+        [
+            kf_uv_und,
+            kf_uright[..., None],
+            kf_octave.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [K,N,4]
+    g = fields[c, k]
+    uv_obs = g[..., :2]
+    ur_obs = g[..., 2]
+    inv_sigma2 = 1.0 / scale_factor ** (2.0 * g[..., 3])
     stereo = ur_obs >= 0
     onehot = (c[..., None] == jnp.arange(K)[None, None, :]).astype(jnp.float32)
     return _EdgeStatic(uv_obs, ur_obs, inv_sigma2, stereo, onehot)
@@ -231,9 +241,12 @@ def _gn_iteration(
         )  # [55, E]
         W_pm = terms[0:18].reshape(18, P, Mo)
         HG = (terms[18:45] @ Uflat).T  # [K,27]
-        hpp = [psum(terms[45 + i]) for i in range(6)]  # 00,01,02,11,12,22
-        bp = terms[51:54].reshape(3, P, Mo).sum(-1).T  # [P,3]
-        cost_cur = jnp.sum(terms[54])
+        # hpp (6) + bp (3) + cost (1) in ONE packed [10,P,Mo] reduction
+        # (ten separate small reduces each paid an op dispatch)
+        red = terms[45:55].reshape(10, P, Mo).sum(-1)  # [10,P]
+        hpp = [red[i] for i in range(6)]  # 00,01,02,11,12,22
+        bp = red[6:9].T  # [P,3]
+        cost_cur = jnp.sum(red[9])
     else:
         # XLA fallback (CPU tests / non-TPU backends): identical math as
         # explicit flat-[E] scalar formulas
@@ -365,44 +378,56 @@ def _gn_iteration(
     i21 = -l21 * i11 * i22
     # Linv rows: [[i00,0,0],[i10,i11,0],[i20,i21,i22]]
 
-    # V = edge->camera aggregation of W = Jc^T w Jp, emitted DIRECTLY in
-    # the Schur layout [K,6,P,3] (r4: the previous [P,K,6,3] order forced a
-    # ~0.26 ms/iteration transpose copy before the S matmul — the einsum's
-    # output order is free)
-    V = hp(
-        "pmk,ijpm->kipj",
-        es.cam_onehot * obs_ok[..., None].astype(f32),
-        W_pm.reshape(6, 3, P, Mo),
-    )  # [K,6,P,3]
-
-    # Z = V Linv^T (so V Hpp^-1 V^T = Z Z^T): LinvT is upper-triangular, so
-    # the per-point right-multiply is 6 fused multiply-adds on [K,6,P]
-    # slices — a dot_general here forced ~0.2 ms of layout copies per iter
-    b1 = lambda a: a[None, None, :]  # [P] -> [1,1,P]
-    V0, V1, V2 = V[..., 0], V[..., 1], V[..., 2]
-    Z = jnp.stack(
-        [
-            V0 * b1(i00),
-            V0 * b1(i10) + V1 * b1(i11),
-            V0 * b1(i20) + V1 * b1(i21) + V2 * b1(i22),
-        ],
-        axis=-1,
-    )  # [K,6,P,3]
-    Zt = Z.reshape(K * 6, P * 3)
-    S_dense = -(Zt @ Zt.T)  # ONE MXU matmul, [6K, 3P] x [3P, 6K]
+    # Z = (V Linv^T) built WITHOUT materializing V (r4: the einsum that
+    # emitted V [K,6,P,3] directly lowered to a broadcast-multiply-reduce
+    # over [P,M,K,18] — ~94 us/iteration of HBM traffic, plus ~110 us of
+    # layout copies and a 40 us V*ybp reduce; jax.profiler,
+    # scripts/diag_profile_ba.py). Linv^T folds into the EDGE-level W
+    # (cheap [P,Mo] elementwise), then one batched MXU dot_general
+    # contracts edges -> cameras per point.
+    W6 = W_pm.reshape(6, 3, P, Mo)
+    b2 = lambda a: a[None, :, None]  # [P] -> [1,P,1]
+    Ze0 = W6[:, 0] * b2(i00)
+    Ze1 = W6[:, 0] * b2(i10) + W6[:, 1] * b2(i11)
+    Ze2 = W6[:, 0] * b2(i20) + W6[:, 1] * b2(i21) + W6[:, 2] * b2(i22)
+    # [P,18,Mo]: batch p, contract m against the one-hot [P,Mo,K] (W is
+    # already masked by w = info*ok in both edge-term branches, so masked
+    # edges contribute exact zeros without re-masking the one-hot)
+    Zpm = jnp.stack([Ze0, Ze1, Ze2], axis=1).reshape(18, P, Mo).transpose(
+        1, 0, 2
+    )
+    Zb = jax.lax.dot_general(
+        Zpm, es.cam_onehot, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P,18,K]
+    Z4 = Zb.transpose(2, 1, 0).reshape(K, 6, 3, P)  # rows (k,i), minor p
+    Zt_j = [Z4[:, :, j, :].reshape(K * 6, P) for j in range(3)]
+    # S = -Z Z^T as 3 clean [6K,P]x[P,6K] MXU matmuls (the flattened
+    # [6K,3P] form forced a (P,3)-minor relayout copy each iteration)
+    S_dense = -(
+        Zt_j[0] @ Zt_j[0].T + Zt_j[1] @ Zt_j[1].T + Zt_j[2] @ Zt_j[2].T
+    )
     S_dense = S_dense.reshape(K, 6, K, 6)
     KI = jnp.arange(K)
 
-    # reduced gradient: bs = bc - V Hpp^-1 bp
+    # reduced gradient: bs = bc - V Hpp^-1 bp, with V·ybp contracted at the
+    # EDGE level ([6,E] @ [E,K] matmul) instead of over the dense V
     ybp = hp("pij,pj->pi", Hpp_inv, bp)  # [P,3]
-    bs = bc - hp("kipc,pc->ki", V, ybp)
+    Vyb = hp(
+        "ce,ek->kc", jnp.sum(W6 * ybp.T[None, :, :, None], axis=1).reshape(6, E),
+        Uflat,
+    )  # [K,6]
+    bs = bc - Vyb
 
     # camera damping + fixed-camera prior; the Schur diagonal trace comes
     # from Z row norms (tr of -Z Z^T block k = -sum of its row norms), so
     # Hcc + damping land in ONE diagonal scatter
     tr_S = (
         jnp.trace(Hcc, axis1=-2, axis2=-1)
-        - jnp.sum(Zt * Zt, axis=1).reshape(K, 6).sum(-1)
+        - sum(
+            jnp.sum(Zj * Zj, axis=1) for Zj in Zt_j
+        ).reshape(K, 6).sum(-1)
     )
     diag_scale = jnp.maximum(tr_S / 6.0, 1e-6)
     prior = jnp.where(cam_active, lm_lambda * diag_scale, FIXED_PRIOR)
@@ -598,6 +623,7 @@ def local_ba(
     max_local_pts: int = 2048,
     iters1: int = 3,
     iters2: int = 5,
+    inc=None,  # [K,P] incidence (shared across the mapping pass's consumers)
 ) -> M.MapState:
     """Local BA around a keyframe: optimize it + its covisible neighbors +
     their points; frontier KFs observing those points stay fixed
@@ -624,17 +650,35 @@ def local_ba(
         jnp.where(ms.kf_valid, ms.kf_frame_id, jnp.iinfo(jnp.int32).max)
     )
     local = local.at[oldest].set(False)
-    # active points: observed by any local KF
+    # active points: observed by any local KF. With a shared incidence
+    # matrix both masks are MXU matmuls; the scatter+gather formulation
+    # paid two [K*N]-element table passes (~0.65 ms each at 64x1024).
+    # `inc` may be a few mutations stale (computed at KF insertion, before
+    # neighbor fusion rebinds points) — a merge winner observed only by
+    # frontier KFs pre-fuse enters BA one pass late, the same bounded
+    # staleness the shared covisibility already accepts.
     obs = M.observation_table(ms)
-    pt_local = jnp.zeros((ms.P,), bool)
-    contrib = jnp.where(local[:, None], obs, -1)
-    pt_local = pt_local.at[jnp.where(contrib >= 0, contrib, ms.P).ravel()].set(
-        True, mode="drop"
-    )
-    pt_local = pt_local & ms.pt_valid
-    # frontier: fixed anchors observing local points (Optimizer.cc:447-460)
-    hit = (obs >= 0) & pt_local[jnp.clip(obs, 0, ms.P - 1)]
-    frontier = jnp.any(hit, axis=1) & ms.kf_valid & (~local)
+    if inc is not None:
+        pt_local = jnp.dot(
+            local.astype(jnp.bfloat16), inc,
+            preferred_element_type=jnp.float32,
+        ) > 0
+        pt_local = pt_local & ms.pt_valid
+        # frontier: fixed anchors observing local points (Optimizer.cc:447-460)
+        frontier = jnp.dot(
+            inc, pt_local.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) > 0
+        frontier = frontier & ms.kf_valid & (~local)
+    else:
+        pt_local = jnp.zeros((ms.P,), bool)
+        contrib = jnp.where(local[:, None], obs, -1)
+        pt_local = pt_local.at[
+            jnp.where(contrib >= 0, contrib, ms.P).ravel()
+        ].set(True, mode="drop")
+        pt_local = pt_local & ms.pt_valid
+        hit = (obs >= 0) & pt_local[jnp.clip(obs, 0, ms.P - 1)]
+        frontier = jnp.any(hit, axis=1) & ms.kf_valid & (~local)
 
     # --- camera compaction: locals first, then newest frontier ---
     fid = ms.kf_frame_id.astype(jnp.float32)
@@ -663,11 +707,20 @@ def local_ba(
     row_s = jnp.clip(obs_row, 0, KL - 1)
     kp_s = jnp.clip(obs_kp, 0, ms.N - 1)
     c_orig = cam_idx[row_s]  # [PL,M] original KF ids
-    uv_obs = ms.kf_uv_und[c_orig, kp_s]
-    ur_obs = ms.kf_uright[c_orig, kp_s]
-    inv_sigma2 = 1.0 / scale_factor ** (
-        2.0 * ms.kf_octave[c_orig, kp_s].astype(jnp.float32)
-    )
+    # ONE packed per-edge gather for (u, v, u_r, octave): arbitrary-index
+    # gathers cost ~10 ns/INDEX, so the 4 fields ride one index stream
+    fields = jnp.concatenate(
+        [
+            ms.kf_uv_und,
+            ms.kf_uright[..., None],
+            ms.kf_octave.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [K,N,4] (dense build — bandwidth, not scatter)
+    g = fields[c_orig, kp_s]  # [PL,M,4]
+    uv_obs = g[..., :2]
+    ur_obs = g[..., 2]
+    inv_sigma2 = 1.0 / scale_factor ** (2.0 * g[..., 3])
     onehot = (
         (row_s[..., None] == jnp.arange(KL)[None, None, :])
         & obs_ok[..., None]
