@@ -94,7 +94,13 @@ def detect_loop_candidates(
         return jnp.where(res.n_meas >= 50, res.error, jnp.inf)
 
     errors = jax.vmap(align_one)(jnp.arange(K))
-    connected = (covis[kf_slot] > 0) | (jnp.arange(K) == kf_slot)
+    # exclusion threshold 15 = the reference's connected-KF notion
+    # (GetConnectedKeyFrames only holds weights >= 15, KeyFrame.cc:282-366;
+    # DetectLoop excludes exactly that set, LoopClosing.cc:115-143). Excluding
+    # ANY shared observation (covis > 0) masked true loop candidates as soon
+    # as a few coarse-octave keypoints bridged the seam — organic drift
+    # always bridges a little before loop closure can fire.
+    connected = (covis[kf_slot] >= 15) | (jnp.arange(K) == kf_slot)
     # temporal neighbors are trivially similar; exclude recent ids too
     recent = jnp.abs(ms.kf_frame_id - ms.kf_frame_id[kf_slot]) < min_frame_gap
     errors = jnp.where(ms.kf_valid & (~connected) & (~recent), errors, jnp.inf)

@@ -6,11 +6,17 @@ system: detection -> device consistency (th=3) -> async Sim3 verification
 -> correction -> GBA (run_gba=True), matching LoopClosing.cc:370-533 +
 RunGlobalBundleAdjustment (:585-678).
 
-Sensor noise (pixel + depth) makes the odometry drift measurably; the
-closed-circuit trajectory (io/synthetic.circuit_trajectory) sweeps yaw
-through 360 deg inside a watertight room so each segment sees a different
-wall — the seam at the revisit cannot be absorbed by local matching
-(VERDICT r3 weak #3: the previous e2e injected pre-drifted keyframes)."""
+Drift mechanism (chosen after measuring the alternatives): zero-mean
+pixel/depth noise does NOT accumulate — RGB-D depth anchoring self-heals
+a few-cm seam through local matching before loop closure can fire. What
+drifts real RGB-D odometry is SYSTEMATIC depth error, so the sequence
+applies a slowly-varying depth-scale bias (±8% over the lap, the shape of
+a sensor calibration/temperature drift): integrating differently-scaled
+segments accumulates ~6-10 cm of seam error that local matching cannot
+absorb, while local tracking stays healthy. The closed-circuit trajectory
+(io/synthetic.circuit_trajectory) sweeps yaw through 360 deg inside a
+watertight room so each segment sees a different wall (VERDICT r3 weak
+#3: the previous e2e injected pre-drifted keyframes)."""
 
 import numpy as np
 import pytest
@@ -30,16 +36,20 @@ CAM = CameraModel(
     fx=320.0, fy=320.0, cx=159.5, cy=119.5, width=320, height=240, bf=32.0
 )
 
-N_LAP = 200  # frames for the full circuit
-N_REVISIT = 30  # frames past closure (re-traverses the circuit start)
+N_LAP = 240  # frames for the full circuit
+N_REVISIT = 40  # frames past closure (re-traverses the circuit start)
+DEPTH_BIAS_AMP = 0.08  # slowly-varying depth-scale bias (organic drift)
 
 
 def _make_sequence():
-    lap = np.asarray(circuit_trajectory(N_LAP, radius=0.8))
+    # radius 0.6 in a 3.5 m room keeps every surface 0.5-4 m away: far
+    # enough to drift, close enough that depth stays observable (the r4
+    # 0.8/5.0 variant put walls 4-6 m out and tracking broke mid-lap)
+    lap = np.asarray(circuit_trajectory(N_LAP, radius=0.6))
     poses = np.concatenate([lap, lap[:N_REVISIT]])
     return SyntheticSequence(
         CAM, trajectory="custom", poses=poses,
-        scene_kwargs={"closed": True, "size": 5.0},
+        scene_kwargs={"closed": True, "size": 3.5},
     )
 
 
@@ -85,8 +95,9 @@ def test_organic_loop_closure_with_gba():
                 np.asarray(img) + noise.normal(0, 2.0, (CAM.height, CAM.width)),
                 0, 255,
             ).astype(np.uint8)
+            bias = 1.0 + DEPTH_BIAS_AMP * np.sin(2 * np.pi * i / N_LAP)
             dep16 = np.clip(
-                (np.asarray(depth) + noise.normal(0, 0.01, depth.shape))
+                (np.asarray(depth) * bias + noise.normal(0, 0.01, depth.shape))
                 * 1000.0, 0, 65535,
             ).astype(np.uint16)
             sysm.track_rgbd(img8, dep16, float(i) / 30.0)
