@@ -23,7 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the environment's sitecustomize pre-sets JAX_PLATFORMS=axon
+# (one real TPU), so setdefault would silently grab the shared chip and
+# jax.devices() would hold a single device (CLAUDE.md quirk). Override
+# with SDSLAM_DIST_PLATFORM to run on real multi-chip hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("SDSLAM_DIST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
