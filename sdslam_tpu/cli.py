@@ -46,11 +46,16 @@ def main(argv=None):
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # persistent compile cache: the CLI's big fused programs take minutes
-    # to build from scratch on small hosts; cached reruns start in seconds
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("SDSLAM_JAX_CACHE", "/root/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # to build from scratch on small hosts; cached reruns start in seconds.
+    # SDSLAM_JAX_CACHE="" DISABLES it — required when main() is invoked
+    # in-process by the test suite: jax.config is process-global, so
+    # enabling the cache here would arm the XLA:CPU AOT deserializer
+    # segfault (tests/conftest.py) for every later test in the run.
+    cache_dir = os.environ.get("SDSLAM_JAX_CACHE", "/root/.jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     ap = argparse.ArgumentParser(prog="sdslam_tpu")
     sp = ap.add_subparsers(dest="cmd", required=True)
     for name in ("monocular", "rgbd", "fusion"):
