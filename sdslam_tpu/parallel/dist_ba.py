@@ -16,7 +16,6 @@ near-linear until the collective dominates.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -26,58 +25,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sdslam_tpu.geometry import lie
 from sdslam_tpu.geometry.camera import CameraModel
 from sdslam_tpu.solvers import ba as ba_mod
-
-
-def _shard_terms(cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und,
-                 kf_uright, kf_octave, cam_active, pt_active, scale_factor,
-                 use_huber, lm_lambda, K):
-    """Per-shard Schur contributions (runs under shard_map on a point shard).
-
-    Returns (S_local [K,K,6,6], bs_local [K,6], Hpp_inv [Ploc,3,3],
-    W [Ploc,M,6,3], bp [Ploc,3])."""
-    hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-    es = ba_mod._prep_edges(
-        obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K
-    )
-    r, Jc, Jp, info, stereo, behind = ba_mod._edge_terms_from(
-        cam, kf_Tcw, pt_pos, es, scale_factor
-    )
-    ok = obs_ok & (~behind)
-    w = info * ok
-    if use_huber:
-        rn = jnp.sqrt(jnp.sum(r * r, -1) * info + 1e-12)
-        hub = jnp.where(stereo, ba_mod.HUBER_STEREO, ba_mod.HUBER_MONO)
-        w = w * jnp.minimum(1.0, hub / jnp.maximum(rn, 1e-9))
-    c = jnp.clip(obs_kf, 0, K - 1)
-    Jc = Jc * cam_active[c][..., None, None]
-    Jp = Jp * pt_active[:, None, None, None]
-    wJc = Jc * w[..., None, None]
-    wJp = Jp * w[..., None, None]
-
-    Ploc, Mo = obs_kf.shape
-    # MXU one-hot assembly (see ba._gn_iteration): the Schur pair term
-    # factors per point, so no [P,M,M] blocks and no scatters
-    U = es.cam_onehot * ok[..., None]
-    Hpp = hp("pmri,pmrj->pij", wJp, Jp)
-    bp = -hp("pmri,pmr->pi", wJp, r)
-    Hcc_e = hp("pmri,pmrj->pmij", wJc, Jc)
-    bc_e = -hp("pmri,pmr->pmi", wJc, r)
-    Hcc = hp("pmk,pmij->kij", U, Hcc_e)
-    bc = hp("pmk,pmi->ki", U, bc_e)
-    W = hp("pmri,pmrj->pmij", wJc, Jp)
-    damp_p = lm_lambda * jnp.maximum(
-        jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-8
-    )
-    Hpp_inv = ba_mod._inv3x3_spd(
-        Hpp + damp_p * jnp.broadcast_to(jnp.eye(3), Hpp.shape) + 1e-9 * jnp.eye(3)
-    )
-    Y = hp("pmij,pjk->pmik", W, Hpp_inv)
-    YU = hp("pmk,pmic->pkic", U, Y)
-    WU = hp("pmk,pmic->pkic", U, W)
-    S = -hp("paic,pbjc->abij", YU, WU)
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
-    bs = bc - hp("pkic,pc->ki", YU, bp)
-    return S, bs, Hpp_inv, W, bp, c, U
 
 
 def make_distributed_gn_step(mesh: Mesh, cam: CameraModel, K: int,
@@ -90,35 +37,31 @@ def make_distributed_gn_step(mesh: Mesh, cam: CameraModel, K: int,
     replicated. Returns a function
       step(kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und, kf_uright,
            kf_octave, cam_active, pt_active) -> (kf_Tcw', pt_pos')
-    """
+
+    r4: the per-shard edge pass IS ba._schur_terms — the same flat-[E]
+    edge-level assembly (and, on real TPU shards, the same Pallas edge
+    kernel) as single-device BA; its contract is exactly the distributed
+    split: (S0, bs, cost) are plain sums over edges (psum'd here), while
+    (Hpp_inv, W, bp) are point-local and never leave the shard. The
+    previous [P,M,...]-shaped einsum formulation wasted ~7x on TPU lane
+    padding (solvers/ba.py layout note)."""
 
     def step_local(kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und,
                    kf_uright, kf_octave, cam_active, pt_active):
-        S, bs, Hpp_inv, W, bp, c, U = _shard_terms(
-            cam, kf_Tcw, pt_pos, obs_kf, obs_kp, obs_ok, kf_uv_und,
-            kf_uright, kf_octave, cam_active, pt_active, scale_factor,
-            use_huber, lm_lambda, K,
+        es = ba_mod._prep_edges(
+            obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K
         )
-        # combine the reduced camera system over ICI
-        S = jax.lax.psum(S, "dp")
+        S0, bs, Hpp_inv, W_pm, bp, _cost, Uflat = ba_mod._schur_terms(
+            cam, kf_Tcw, pt_pos, es, obs_ok, cam_active, pt_active,
+            use_huber, lm_lambda,
+        )
+        # combine the reduced camera system over ICI; the damping prior
+        # scales with the GLOBAL diagonal trace, so it applies post-psum
+        S0 = jax.lax.psum(S0, "dp")
         bs = jax.lax.psum(bs, "dp")
-        diag_scale = jnp.maximum(
-            jnp.trace(S[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1) / 6.0,
-            1e-6,
-        )
-        prior = jnp.where(cam_active, lm_lambda * diag_scale, ba_mod.FIXED_PRIOR)
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(
-            prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
-        )
-        S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-        L, low = jax.scipy.linalg.cho_factor(S_dense, lower=True)
-        dc = jax.scipy.linalg.cho_solve((L, low), bs.reshape(K * 6)).reshape(K, 6)
-        dc = dc * cam_active[:, None]
+        dc = ba_mod._apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K)
         # local landmark back-substitution on this shard
-        hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-        dc_pm = hp("pmk,ki->pmi", U, dc)
-        Wt_dc = hp("pmij,pmi->pj", W, dc_pm)
-        dp = hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
+        dp = ba_mod._back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active)
         kf_Tcw_new = jnp.where(
             cam_active[:, None, None], lie.se3_exp(dc) @ kf_Tcw, kf_Tcw
         )

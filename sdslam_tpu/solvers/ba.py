@@ -121,47 +121,6 @@ def _inv3x3_spd(A):
     return jnp.stack([row0, row1, row2], -2) * idet[..., None, None]
 
 
-def _edge_terms_from(cam, kf_Tcw, pt_pos, es: _EdgeStatic, scale_factor):
-    """Residuals r [P,M,3], Jacobians Jc [P,M,3,6], Jp [P,M,3,3] from the
-    precomputed static edge data. The observing-camera pose is expanded via
-    a one-hot matmul (MXU) instead of a scattered [P,M,4,4] gather."""
-    T = jnp.einsum(
-        "pmk,kab->pmab", es.cam_onehot, kf_Tcw,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    Xc = lie.se3_apply(T, pt_pos[:, None, :])  # [P,M,3]
-    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
-    zi = 1.0 / jnp.maximum(z, 1e-6)
-    zi2 = zi * zi
-    u = cam.fx * x * zi + cam.cx
-    v = cam.fy * y * zi + cam.cy
-    ur = u - cam.bf * zi
-    uv_obs = es.uv_obs
-    ur_obs = es.ur_obs
-    stereo = es.stereo
-    r = jnp.stack(
-        [u - uv_obs[..., 0], v - uv_obs[..., 1], jnp.where(stereo, ur - ur_obs, 0.0)],
-        axis=-1,
-    )
-    zero = jnp.zeros_like(x)
-    Ju = jnp.stack([cam.fx * zi, zero, -cam.fx * x * zi2], -1)
-    Jv = jnp.stack([zero, cam.fy * zi, -cam.fy * y * zi2], -1)
-    Jr = jnp.stack([cam.fx * zi, zero, -cam.fx * x * zi2 + cam.bf * zi2], -1)
-    JX = jnp.stack([Ju, Jv, Jr], axis=-2)  # [P,M,3,3] d(uvr)/dXc
-    ones = jnp.ones_like(x)
-    row_mask = jnp.stack([ones, ones, stereo.astype(x.dtype)], -1)
-    JX = JX * row_mask[..., None]
-    # camera: left-perturbation Tcw <- Exp(xi) Tcw: dXc/dxi = [I | -hat(Xc)]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), Xc.shape[:-1] + (3, 3))
-    dXdxi = jnp.concatenate([eye, -lie.hat(Xc)], axis=-1)  # [P,M,3,6]
-    Jc = jnp.einsum("...ij,...jk->...ik", JX, dXdxi)
-    # point: dXc/dXw = R
-    R = T[..., :3, :3]
-    Jp = jnp.einsum("...ij,...jk->...ik", JX, R)
-    behind = z <= 0.05
-    return r, Jc, Jp, es.inv_sigma2, stereo, behind
-
-
 def _chol3x3(h00, h01, h02, h11, h12, h22):
     """Closed-form Cholesky L (lower) of batched symmetric 3x3, elementwise
     over arbitrarily-shaped arrays. Assumes SPD (guaranteed by damping)."""
@@ -174,7 +133,7 @@ def _chol3x3(h00, h01, h02, h11, h12, h22):
     return l00, l10, l20, l11, l21, l22
 
 
-def _gn_iteration(
+def _schur_terms(
     cam,
     kf_Tcw,
     pt_pos,
@@ -182,13 +141,19 @@ def _gn_iteration(
     obs_ok,
     cam_active,
     pt_active,
-    scale_factor,
     use_huber: bool,
     lm_lambda,
 ):
-    """One damped GN step. Returns (T_new, X_new, robust_cost_at_current):
-    the cost comes free with the residual pass, enabling single-edge-pass
-    Levenberg-Marquardt (deferred accept/reject in the caller).
+    """Edge pass + Schur assembly WITHOUT the camera prior/solve: returns
+    (S0 [K6,K6] reduced camera system (Hcc on the diagonal, no damping
+    prior), bs [K,6], Hpp_inv [P,3,3], W_pm [18,P,Mo], bp [P,3],
+    cost_cur scalar, Uflat [E,K]).
+
+    Every returned term is either a plain sum over this problem's edges
+    (S0, bs, cost) or point-local (Hpp_inv, W_pm, bp) — exactly the
+    contract the DISTRIBUTED backend needs: shard points over a mesh, run
+    this per shard, psum (S0, bs, cost), apply the prior globally, solve
+    replicated, back-substitute locally (parallel/dist_ba.py).
 
     Layout: everything is computed as flat per-edge [E] vectors (E = P*M,
     the minor-most dimension) with EXPLICIT scalar Jacobian formulas instead
@@ -420,33 +385,65 @@ def _gn_iteration(
     )  # [K,6]
     bs = bc - Vyb
 
-    # camera damping + fixed-camera prior; the Schur diagonal trace comes
-    # from Z row norms (tr of -Z Z^T block k = -sum of its row norms), so
-    # Hcc + damping land in ONE diagonal scatter
-    tr_S = (
-        jnp.trace(Hcc, axis1=-2, axis2=-1)
-        - sum(
-            jnp.sum(Zj * Zj, axis=1) for Zj in Zt_j
-        ).reshape(K, 6).sum(-1)
+    # fold Hcc onto the diagonal: S0 is now the complete reduced camera
+    # system minus the damping prior (applied by the caller AFTER any
+    # cross-shard psum — the prior scales with the GLOBAL diagonal trace)
+    S_dense = S_dense.at[KI, :, KI, :].add(Hcc)
+    return (
+        S_dense.reshape(K * 6, K * 6), bs, Hpp_inv, W_pm, bp,
+        cost_cur, Uflat,
     )
+
+
+def _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K: int):
+    """Add the trace-scaled damping prior / fixed-camera prior to the
+    (possibly psum'd) reduced system and solve for the camera step."""
+    S4 = S0.reshape(K, 6, K, 6)
+    KI = jnp.arange(K)
+    diag_blocks = S4[KI, :, KI, :]  # [K,6,6]
+    tr_S = jnp.trace(diag_blocks, axis1=-2, axis2=-1)
     diag_scale = jnp.maximum(tr_S / 6.0, 1e-6)
     prior = jnp.where(cam_active, lm_lambda * diag_scale, FIXED_PRIOR)
-    S_dense = S_dense.at[KI, :, KI, :].add(
-        Hcc + prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
+    S4 = S4.at[KI, :, KI, :].add(
+        prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
     )
-
-    S_flat = S_dense.reshape(K * 6, K * 6)
+    S_flat = S4.reshape(K * 6, K * 6)
     L, low = jax.scipy.linalg.cho_factor(S_flat, lower=True)
     dc = jax.scipy.linalg.cho_solve((L, low), bs.reshape(K * 6)).reshape(K, 6)
-    dc = dc * cam_active[:, None]
+    return dc * cam_active[:, None]
 
-    # landmark back-substitution: dp = Hpp^-1 (bp - sum_m W_m^T dc_m)
+
+def _back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active):
+    """Landmark step dp = Hpp^-1 (bp - W^T dc), point-local (shardable)."""
+    hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    P = bp.shape[0]
+    Mo = W_pm.shape[-1]
     dc_e = (Uflat @ dc).T.reshape(6, P, Mo)
-    Wt_dc = hp(
-        "ijpm,ipm->pj", W_pm.reshape(6, 3, P, Mo), dc_e
-    )  # [P,3]
-    dp = hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
+    Wt_dc = hp("ijpm,ipm->pj", W_pm.reshape(6, 3, P, Mo), dc_e)  # [P,3]
+    return hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
 
+
+def _gn_iteration(
+    cam,
+    kf_Tcw,
+    pt_pos,
+    es: _EdgeStatic,
+    obs_ok,
+    cam_active,
+    pt_active,
+    scale_factor,
+    use_huber: bool,
+    lm_lambda,
+):
+    """One damped GN step (single-device path): _schur_terms + prior +
+    dense Cholesky + local back-substitution."""
+    K = kf_Tcw.shape[0]
+    S0, bs, Hpp_inv, W_pm, bp, cost_cur, Uflat = _schur_terms(
+        cam, kf_Tcw, pt_pos, es, obs_ok, cam_active, pt_active,
+        use_huber, lm_lambda,
+    )
+    dc = _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K)
+    dp = _back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active)
     kf_Tcw_new = jnp.where(
         cam_active[:, None, None], lie.se3_exp(dc) @ kf_Tcw, kf_Tcw
     )
