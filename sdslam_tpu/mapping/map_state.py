@@ -201,13 +201,16 @@ def covisibility(ms: MapState, inc=None):
 
 
 def point_obs_count(ms: MapState):
-    """[P] number of keyframes observing each point."""
-    obs = observation_table(ms)
-    cnt = jnp.zeros((ms.P,), jnp.int32)
-    cnt = cnt.at[jnp.clip(obs, 0, ms.P - 1).ravel()].add(
-        (obs >= 0).ravel().astype(jnp.int32), mode="drop"
-    )
-    return cnt * ms.pt_valid
+    """[P] number of keyframes observing each point.
+
+    Per observing KEYFRAME (duplicate bindings within one row dedup to 1),
+    matching MapPoint::Observations() (/root/reference/src/MapPoint.h:41-150
+    — the observation map is keyed by KeyFrame*). Derived from the incidence
+    matrix so standalone callers (culling thresholds, merge arbitration in
+    loop_closing.fuse_loop_points) use the SAME semantics as the fused KF
+    pass, which passes point_obs_count_from_inc explicitly — winner
+    selection must not depend on the call site (r4 advisor finding)."""
+    return point_obs_count_from_inc(ms, incidence_matrix(ms))
 
 
 def point_obs_count_from_inc(ms: MapState, inc):

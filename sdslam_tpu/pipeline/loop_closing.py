@@ -42,6 +42,22 @@ from sdslam_tpu.solvers import ba, image_align, pose_graph, sim3_solver
 
 LOOP_ALIGN_MAX_ERROR = 0.03  # KF<->KF coarse alignment bound (ImageAlign ctor)
 
+# Candidate-exclusion covisibility threshold — a DELIBERATE DIVERGENCE from
+# the reference. The reference excludes every keyframe sharing >= 1
+# observation: DetectLoop skips GetConnectedKeyFrames (LoopClosing.cc:
+# 115-143), and mConnectedKeyFrameWeights holds ALL keyframes with >= 1
+# shared map point (KeyFrame::UpdateConnections stores the full KFcounter,
+# KeyFrame.cc:355; the th=15 there only gates the ORDERED covisibility lists
+# and reciprocal AddConnection). We exclude only weight >= 15 neighbors:
+# photometric detection needs candidates the reference's BoW-free path would
+# not otherwise have — organic drift always bridges a few coarse-octave
+# keypoints across the seam before a loop can close, and covis > 0 masked
+# every true candidate in the organic e2e (test_loop_organic). Weakly
+# covisible (1-14 shared) spatial neighbors admitted by this relaxation are
+# still gated by the frame-gap exclusion below, the th=3 consistency chain
+# and full Sim3 verification.
+LOOP_CANDIDATE_MIN_COVIS = 15
+
 
 class LoopCandidate(NamedTuple):
     found: jnp.ndarray  # bool
@@ -94,13 +110,11 @@ def detect_loop_candidates(
         return jnp.where(res.n_meas >= 50, res.error, jnp.inf)
 
     errors = jax.vmap(align_one)(jnp.arange(K))
-    # exclusion threshold 15 = the reference's connected-KF notion
-    # (GetConnectedKeyFrames only holds weights >= 15, KeyFrame.cc:282-366;
-    # DetectLoop excludes exactly that set, LoopClosing.cc:115-143). Excluding
-    # ANY shared observation (covis > 0) masked true loop candidates as soon
-    # as a few coarse-octave keypoints bridged the seam — organic drift
-    # always bridges a little before loop closure can fire.
-    connected = (covis[kf_slot] >= 15) | (jnp.arange(K) == kf_slot)
+    # deliberate divergence from the reference's covis>0 exclusion — see
+    # LOOP_CANDIDATE_MIN_COVIS at module top for the full rationale
+    connected = (covis[kf_slot] >= LOOP_CANDIDATE_MIN_COVIS) | (
+        jnp.arange(K) == kf_slot
+    )
     # temporal neighbors are trivially similar; exclude recent ids too
     recent = jnp.abs(ms.kf_frame_id - ms.kf_frame_id[kf_slot]) < min_frame_gap
     errors = jnp.where(ms.kf_valid & (~connected) & (~recent), errors, jnp.inf)

@@ -131,3 +131,34 @@ def test_local_ba_improves_contaminated_keyframe(rng):
     et1, er1 = pose_errs(np.asarray(ms2.kf_Tcw[5]), T_gt[5])
     assert et1 < et0 * 0.1  # pose recovered
     assert et1 < 2e-3
+
+
+def test_local_ba_prefuse_inc_matches_fallback(rng):
+    """r4 advisor: the fused KF pass hands local_ba an incidence computed
+    BEFORE fuse_neighbors mutated bindings; standalone callers recompute it
+    (inc=None). The active-set staleness must stay bounded: both paths must
+    converge to equivalent poses on a post-fuse map."""
+    from sdslam_tpu.mapping import local_mapping as LM
+
+    ms, T_gt, X_gt, n_kf, n_pt = make_ba_problem(
+        rng, noise_px=0.2, pose_noise=0.01, pt_noise=0.01
+    )
+    # pre-fuse derived structures, exactly as _kf_core computes them
+    inc = M.incidence_matrix(ms)
+    covis = M.covisibility(ms, inc=inc)
+    ms_fused = LM.fuse_neighbors(
+        CAM, ms, jnp.asarray(5), covis=covis,
+        obs_cnt=M.point_obs_count_from_inc(ms, inc),
+    )
+    ms_inc = ba.local_ba(
+        CAM, ms_fused, center_kf=5, covis_min=15, covis=covis, inc=inc
+    )
+    ms_fb = ba.local_ba(CAM, ms_fused, center_kf=5, covis_min=15)
+    T_inc = np.asarray(ms_inc.kf_Tcw)
+    T_fb = np.asarray(ms_fb.kf_Tcw)
+    for k in range(n_kf):
+        et, er = pose_errs(T_inc[k], T_fb[k])
+        assert et < 1e-3 and er < 1e-3, (k, et, er)
+    # and both actually improved toward ground truth
+    et_inc, _ = pose_errs(T_inc[5], T_gt[5])
+    assert et_inc < 5e-3

@@ -55,3 +55,34 @@ def test_missing_keys_use_defaults(tmp_path):
     cfg = load_config(str(y))
     assert cfg.camera.fx == 500.0
     assert cfg.orb.n_features == 1000
+
+
+def test_shipped_dataset_configs_load():
+    """Every shipped per-dataset config (the reference's Examples/ YAML set:
+    TUM1/2/3, EuRoC, TUMVO + Example) parses through the compat loader with
+    its calibration intact."""
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    expect_fx = {
+        "Example.yaml": None,  # documented defaults file; just parse
+        "TUM1.yaml": 517.306408,
+        "TUM2.yaml": 520.908620,
+        "TUM3.yaml": 535.4,
+        "EuRoC.yaml": 458.654,
+        "TUMVO.yaml": 277.524,
+    }
+    names = sorted(os.listdir(root))
+    assert set(expect_fx) <= set(names)
+    for name in names:
+        if not name.endswith(".yaml"):
+            continue
+        cfg = load_config(os.path.join(root, name))
+        fx = expect_fx.get(name)
+        if fx is not None:
+            assert abs(cfg.camera.fx - fx) < 1e-6, name
+    # dataset-specific values survive the round trip
+    cfg2 = load_config(os.path.join(root, "TUM2.yaml"))
+    assert cfg2.tracking.depth_map_factor == 5208.0
+    eur = load_config(os.path.join(root, "EuRoC.yaml"))
+    assert eur.camera.width == 752 and eur.camera.bf == 0.0
