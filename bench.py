@@ -31,6 +31,27 @@ tunnel regimes — see CLAUDE.md "environment quirks" and BENCH_TABLE.md):
     collapses mid-run (>4x spread) trigger one extra pass.
   * Best-of-N fresh-tracker passes (steady-state throughput; the tunnel
     occasionally stalls for seconds on unrelated traffic).
+
+r5 restructure (VERDICT r4 #1 — the r4 capture read 60 fps while slope
+timing put the compute bound at ~190): a pass was only 64 frames ≈ 1 s of
+work, so per-pass fixed costs (program-boundary round trips, ramp-up,
+drain) dominated the wall clock. Now:
+  * 256 frames per pass (8 chunks x 32) — fixed costs amortize over 4x
+    the work; the monotone 38.9 -> 60.0 intra-run ramp of BENCH_r04 was
+    exactly this effect.
+  * Chunk-program dispatch rides a bounded in-flight window (3 programs):
+    >~8 queued programs trip the tunnel's backpressure collapse
+    (CLAUDE.md), while a 3-deep window keeps the device saturated with
+    zero added bubbles (the poll happens while 2+ chunks are still
+    queued).
+  * A SLOPE-style in-pass rate is reported alongside the wall number:
+    chunk-boundary completion times T_k give
+    (frames_hi - frames_lo) / (T_hi - T_lo) across the interior chunks,
+    cancelling every per-pass fixed cost — the same two-point methodology
+    that corrected the r3 kernel misread (BENCH_TABLE.md). The headline
+    `value` stays the honest wall fps; `inpass_rate` shows the
+    pacing-independent device rate. In tunnel modes with lying acks the
+    boundary times degrade toward the wall clock, never below it.
 """
 
 import json
@@ -39,11 +60,9 @@ import time
 import numpy as np
 
 WARMUP = 6  # per-frame init segment (map bootstrap)
-# 2 chunks of 32: upload of chunk 2 overlaps chunk 1's scan, while program
-# boundaries (each a tunnel round trip that stalls seconds in bad pacing
-# modes) are half of the 4x16 layout
 CHUNK = 32
-N_CHUNKS = 2
+N_CHUNKS = 8  # 256 frames/pass: fixed per-pass costs amortize over ~4-6 s
+MAX_INFLIGHT = 3  # chunk programs in flight (tunnel backpressure guard)
 # r4 (advisor): FIXED pass count — the stopping rule must not depend on
 # the reported score (sampling-until-lucky biases the headline upward).
 # Extra passes are added ONLY on the stall signal (>4x spread within the
@@ -65,6 +84,14 @@ def _probe_h2d(jax, jnp, size_mb=4):
     while not s.is_ready():
         time.sleep(0.002)
     return payload.nbytes / (time.perf_counter() - t0) / 1e6
+
+
+def _wait_ready(x, poll_s=0.002):
+    try:
+        while not x.is_ready():
+            time.sleep(poll_s)
+    except AttributeError:
+        pass
 
 
 def main():
@@ -109,20 +136,63 @@ def main():
 
     def one_pass(timed=True):
         tracker = RGBDTracker(cfg)
+        # keep every chunk's packed results ON DEVICE until the final
+        # flush (one concatenated fetch): the live-tracking drain
+        # thresholds (PIPELINE_DEPTH=4 / HIGH_WATER=7) would otherwise
+        # force per-chunk blocking fetches mid-pass once 8 chunk entries
+        # are pending — in degraded fetch modes (~300 ms each) those
+        # fetches, not compute, would set the wall clock
+        tracker.PIPELINE_DEPTH = 2 * N_CHUNKS
+        tracker.DRAIN_HIGH_WATER = 4 * N_CHUNKS
         for i in range(WARMUP):
             ts, img, depth = frames[i]
             tracker.track(img, depth, ts)
         tracker.flush()
         t0 = time.perf_counter()
-        # ALL uploads in flight up-front (async device_put); the device
-        # consumes chunk k while later chunks are still transferring
-        ups = [tracker.upload_batch(ch) for ch in chunks]
+        # upload and dispatch INTERLEAVED: chunk k's scan is dispatched as
+        # soon as its own upload is in flight, so the device starts after
+        # one chunk's packing (~30 ms) instead of after all 8 (the r5
+        # first-capture showed a consistent 165 fps in-pass rate under a
+        # 62 fps wall — the ~2.8 s gap was serial pack+upload of the whole
+        # pass before the first dispatch). Packing chunk k+1 then overlaps
+        # chunk k's scan; dispatch rides a bounded in-flight window (>~8
+        # queued programs trip the tunnel's backpressure collapse).
+        # chunk k+1 packs on a worker thread while the main thread
+        # sleep-polls chunk readiness (which releases the GIL): host
+        # packing (~30 ms/chunk on this 2-core host) fully overlaps the
+        # device scan instead of sitting between dispatches
+        from concurrent.futures import ThreadPoolExecutor
+
+        handles = []  # packed-result device array per chunk
+        t_done = [None] * len(chunks)
         n_timed = 0
-        for ch, up in zip(chunks, ups):
-            tracker.track_batch(ch, uploaded=up)
-            n_timed += len(ch)
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(tracker.upload_batch, chunks[0])
+            for k, ch in enumerate(chunks):
+                up = fut.result()  # pack done + async H2D in flight
+                if k + 1 < len(chunks):
+                    fut = ex.submit(tracker.upload_batch, chunks[k + 1])
+                if k >= MAX_INFLIGHT:
+                    j = k - MAX_INFLIGHT
+                    _wait_ready(handles[j])
+                    t_done[j] = time.perf_counter()
+                tracker.track_batch(ch, uploaded=up)
+                handles.append(tracker._pending[-1][1])
+                n_timed += len(ch)
+        for j, h in enumerate(handles):
+            if t_done[j] is None:
+                _wait_ready(h)
+                t_done[j] = time.perf_counter()
         tracker.flush()  # ONE stacked fetch; every pose on host
-        return n_timed / (time.perf_counter() - t0)
+        wall = n_timed / (time.perf_counter() - t0)
+        # slope rate over the interior chunks: first boundary to last
+        # boundary covers (N_CHUNKS-1)*CHUNK frames with every fixed cost
+        # (ramp, upload latency, final drain) outside the interval
+        if len(t_done) >= 3 and t_done[-1] > t_done[0]:
+            slope = (len(t_done) - 1) * CHUNK / (t_done[-1] - t_done[0])
+        else:
+            slope = wall
+        return wall, slope
 
     # wedge detection + bounded retry before the clock
     for attempt in range(4):
@@ -136,11 +206,15 @@ def main():
 
     one_pass(timed=False)  # rehearsal: compiles everything off the clock
 
-    rates = [one_pass() for _ in range(BASE_PASSES)]
+    results = [one_pass() for _ in range(BASE_PASSES)]
     # extra passes only on the stall signal (a >4x spread means the relay
     # stalled mid-pass, polluting a sample) — never on the score itself
-    while len(rates) < MAX_PASSES and max(rates) > 4.0 * min(rates):
-        rates.append(one_pass())
+    while len(results) < MAX_PASSES and (
+        max(r[0] for r in results) > 4.0 * min(r[0] for r in results)
+    ):
+        results.append(one_pass())
+    rates = [r[0] for r in results]
+    slopes = [r[1] for r in results]
     fps = max(rates)
 
     print(
@@ -151,6 +225,10 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
                 "passes": [round(r, 2) for r in rates],
+                # pacing-independent in-pass device rate (slope over chunk
+                # boundaries; see module docstring)
+                "inpass_rate": round(max(slopes), 2),
+                "inpass_passes": [round(s, 2) for s in slopes],
             }
         )
     )
