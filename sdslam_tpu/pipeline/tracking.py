@@ -186,6 +186,10 @@ def _track_core(
         cam, T_init, X1, uv_und, inv_sigma2, v1, ur_obs=uright,
         rounds=pose_gn_schedule[0][0], iters_per_round=pose_gn_schedule[0][1],
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
+        # per-frame hot path: whole solve in one pallas launch on TPU
+        # (r5; the pose-GN while-loops were the largest un-fused piece of
+        # the steady frame — 4.2x slope-timed win, BENCH_TABLE.md)
+        fused=True,
     )
 
     # --- 4. local-map search (the whole resident point pool; masked) ---
@@ -219,6 +223,7 @@ def _track_core(
         cam, opt1.Tcw, X2, uv_und, inv_sigma2, v2, ur_obs=uright,
         rounds=pose_gn_schedule[1][0], iters_per_round=pose_gn_schedule[1][1],
         T_prior=T_init, prior_rot_info=rot_info, prior_trans_info=trans_info,
+        fused=True,
     )
     final_assoc = jnp.where(v2 & opt2.inliers, assoc2, -1)
     # one packed vector = the single device->host transfer per frame (each

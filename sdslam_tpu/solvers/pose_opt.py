@@ -28,6 +28,19 @@ CHI2_STEREO = 7.815  # 3 dof
 HUBER_MONO = 2.4477  # sqrt(5.991)
 HUBER_STEREO = 2.7955  # sqrt(7.815)
 
+# Fused Pallas whole-solve kernel gate (ops/pallas/pose_kernel.py): the r4
+# per-op budget put the pose-GN while-loops at the top of the steady frame
+# (1.73 ms of 3.05 together with the EKF loops) — per-iteration op-dispatch
+# gaps dominate at ~1k-edge/6x6 shapes. "auto" = on TPU only; the XLA path
+# stays the CPU/test oracle. Override by assigning True/False.
+_POSE_KERNEL = "auto"
+
+
+def _pose_kernel_enabled() -> bool:
+    if _POSE_KERNEL == "auto":
+        return jax.devices()[0].platform == "tpu"
+    return bool(_POSE_KERNEL)
+
 
 class PoseOptResult(NamedTuple):
     Tcw: jnp.ndarray  # [4,4]
@@ -68,7 +81,9 @@ def _residuals_jac(cam: CameraModel, Tcw, X, uv_obs, ur_obs, stereo_mask):
     return r, J, behind
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters_per_round"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "rounds", "iters_per_round", "fused")
+)
 def optimize_pose(
     cam: CameraModel,
     Tcw_init,
@@ -82,6 +97,7 @@ def optimize_pose(
     T_prior=None,  # [4,4] motion/alignment prior pose (optional)
     prior_rot_info: float = 0.0,  # 1/sigma^2 on rotation deviation (rad^-2)
     prior_trans_info: float = 0.0,  # 1/sigma^2 on translation deviation (m^-2)
+    fused: bool = False,  # whole solve in ONE pallas launch (TPU hot path)
 ) -> PoseOptResult:
     """With T_prior set, adds a pose-prior term — the semi-direct fusion: the
     photometric aligner pins rotation far better than sparse reprojection
@@ -91,6 +107,24 @@ def optimize_pose(
     if ur_obs is None:
         ur_obs = jnp.full((N,), -1.0, jnp.float32)
     stereo = ur_obs >= 0
+    if fused and _pose_kernel_enabled():
+        from sdslam_tpu.ops.pallas import pose_kernel as pk
+
+        edata = pk.pack_edges(X, uv_obs, ur_obs, inv_sigma2, valid, stereo)
+        Tp_inv = (
+            lie.se3_inv(T_prior) if T_prior is not None
+            else jnp.eye(4, dtype=jnp.float32)
+        )
+        interp_mode = jax.devices()[0].platform != "tpu"
+        T, inl, n_inl, chi2 = pk.pose_optimize(
+            edata, jnp.asarray(Tcw_init, jnp.float32), Tp_inv,
+            prior_rot_info, prior_trans_info,
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+            float(cam.bf),
+            rounds=rounds, iters=iters_per_round,
+            has_prior=T_prior is not None, interpret=interp_mode,
+        )
+        return PoseOptResult(lie.se3_normalize(T), inl, n_inl, chi2)
     if T_prior is not None:
         # infos may be traced scalars (e.g. gated on alignment health)
         W_prior = jnp.diag(

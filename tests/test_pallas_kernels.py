@@ -172,3 +172,103 @@ def test_fused_align_level_matches_xla_loop():
     # and to (nearly) the same iterate
     np.testing.assert_allclose(np.asarray(T_f), np.asarray(T_x), atol=2e-4)
     assert abs(float(chi_f) - float(chi_x)) < 1e-4
+
+
+def _pose_problem(rng, N=256, n_outlier=20, stereo_frac=0.5):
+    from sdslam_tpu.geometry import lie
+
+    fx = fy = 400.0
+    cx, cy = 160.0, 120.0
+    bf = 40.0
+    X = rng.uniform([-1.5, -1.0, 2.0], [1.5, 1.0, 6.0], (N, 3)).astype(np.float32)
+    T_true = np.asarray(lie.se3_exp(jnp.asarray(
+        [0.05, -0.03, 0.08, 0.02, -0.015, 0.01], jnp.float32)))
+    Xc = X @ T_true[:3, :3].T + T_true[:3, 3]
+    u = fx * Xc[:, 0] / Xc[:, 2] + cx
+    v = fy * Xc[:, 1] / Xc[:, 2] + cy
+    uv = np.stack([u, v], -1) + rng.normal(0, 0.4, (N, 2))
+    ur = u - bf / Xc[:, 2] + rng.normal(0, 0.4, N)
+    ur = np.where(rng.uniform(size=N) < stereo_frac, ur, -1.0)
+    # gross outliers
+    out_idx = rng.choice(N, n_outlier, replace=False)
+    uv[out_idx] += rng.normal(0, 30.0, (n_outlier, 2))
+    oct_ = rng.integers(0, 4, N)
+    isig = (1.0 / 2.0 ** (2.0 * oct_)).astype(np.float32)
+    valid = rng.uniform(size=N) > 0.1
+    return (fx, fy, cx, cy, bf), X, uv.astype(np.float32), ur.astype(np.float32), isig, valid, T_true
+
+
+def test_pose_kernel_matches_xla():
+    """The whole-solve pose kernel (interpret mode) must reproduce the XLA
+    optimize_pose: same rounds/iters/Huber/reclassification/prior math."""
+    from sdslam_tpu.geometry.camera import CameraModel
+    from sdslam_tpu.geometry import lie
+    from sdslam_tpu.solvers import pose_opt
+
+    rng = np.random.default_rng(11)
+    (fx, fy, cx, cy, bf), X, uv, ur, isig, valid, T_true = _pose_problem(rng)
+    cam = CameraModel(fx=fx, fy=fy, cx=cx, cy=cy, width=320, height=240, bf=bf)
+    T0 = np.asarray(lie.se3_exp(jnp.asarray(
+        [0.04, -0.02, 0.07, 0.015, -0.012, 0.008], jnp.float32)))
+    T_prior = jnp.asarray(T0)
+
+    saved = pose_opt._POSE_KERNEL
+    try:
+        pose_opt._POSE_KERNEL = False
+        rx = pose_opt.optimize_pose(
+            cam, jnp.asarray(T0), jnp.asarray(X), jnp.asarray(uv),
+            jnp.asarray(isig), jnp.asarray(valid), ur_obs=jnp.asarray(ur),
+            T_prior=T_prior, prior_rot_info=100.0, prior_trans_info=4.0,
+        )
+        pose_opt._POSE_KERNEL = True  # force the kernel gate on CPU
+        rf = pose_opt.optimize_pose(
+            cam, jnp.asarray(T0), jnp.asarray(X), jnp.asarray(uv),
+            jnp.asarray(isig), jnp.asarray(valid), ur_obs=jnp.asarray(ur),
+            T_prior=T_prior, prior_rot_info=100.0, prior_trans_info=4.0,
+            fused=True,
+        )
+    finally:
+        pose_opt._POSE_KERNEL = saved
+
+    # both recover the true pose
+    for r in (rx, rf):
+        err = np.asarray(lie.se3_log(jnp.asarray(
+            np.asarray(r.Tcw) @ np.linalg.inv(T_true))))
+        # the deliberately-offset prior (trans_info=4) pulls the optimum a
+        # little off truth by design; parity below is the real assertion
+        assert np.linalg.norm(err[:3]) < 4e-3, err
+    np.testing.assert_allclose(np.asarray(rf.Tcw), np.asarray(rx.Tcw), atol=5e-5)
+    assert int(rf.n_inliers) == int(rx.n_inliers)
+    np.testing.assert_array_equal(np.asarray(rf.inliers), np.asarray(rx.inliers))
+    np.testing.assert_allclose(float(rf.chi2), float(rx.chi2), rtol=1e-3)
+
+
+def test_pose_kernel_mono_no_prior():
+    """Mono-only edges, no prior term (has_prior=False kernel branch)."""
+    from sdslam_tpu.geometry.camera import CameraModel
+    from sdslam_tpu.geometry import lie
+    from sdslam_tpu.solvers import pose_opt
+
+    rng = np.random.default_rng(5)
+    (fx, fy, cx, cy, bf), X, uv, ur, isig, valid, T_true = _pose_problem(
+        rng, stereo_frac=0.0)
+    cam = CameraModel(fx=fx, fy=fy, cx=cx, cy=cy, width=320, height=240, bf=bf)
+    T0 = np.asarray(lie.se3_exp(jnp.asarray(
+        [0.045, -0.025, 0.075, 0.018, -0.013, 0.009], jnp.float32)))
+    saved = pose_opt._POSE_KERNEL
+    try:
+        pose_opt._POSE_KERNEL = False
+        rx = pose_opt.optimize_pose(
+            cam, jnp.asarray(T0), jnp.asarray(X), jnp.asarray(uv),
+            jnp.asarray(isig), jnp.asarray(valid), ur_obs=jnp.asarray(ur),
+        )
+        pose_opt._POSE_KERNEL = True
+        rf = pose_opt.optimize_pose(
+            cam, jnp.asarray(T0), jnp.asarray(X), jnp.asarray(uv),
+            jnp.asarray(isig), jnp.asarray(valid), ur_obs=jnp.asarray(ur),
+            fused=True,
+        )
+    finally:
+        pose_opt._POSE_KERNEL = saved
+    np.testing.assert_allclose(np.asarray(rf.Tcw), np.asarray(rx.Tcw), atol=5e-5)
+    assert int(rf.n_inliers) == int(rx.n_inliers)
