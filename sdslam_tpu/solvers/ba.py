@@ -169,8 +169,13 @@ def _schur_terms(
     f32 = jnp.float32
 
     Uflat = es.cam_onehot.reshape(E, K)
-    # camera pose per edge, via one MXU matmul (no scattered [P,M,4,4] gather)
-    T16 = (Uflat @ kf_Tcw.reshape(K, 16)).T  # [16, E]
+    # camera pose per edge, via one MXU matmul (no scattered [P,M,4,4]
+    # gather); contracted to [16,E] DIRECTLY — the (U @ T).T form
+    # materialized an [E,16] intermediate plus a 1.3 MB relayout copy
+    T16 = jax.lax.dot_general(
+        kf_Tcw.reshape(K, 16), Uflat, (((0,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )  # [16, E]
     Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
     stereo = es.stereo.reshape(E)
     info = es.inv_sigma2.reshape(E)
@@ -349,7 +354,12 @@ def _schur_terms(
     # layout copies and a 40 us V*ybp reduce; jax.profiler,
     # scripts/diag_profile_ba.py). Linv^T folds into the EDGE-level W
     # (cheap [P,Mo] elementwise), then one batched MXU dot_general
-    # contracts edges -> cameras per point.
+    # contracts edges -> cameras per point. r5 note: two "cleaner"
+    # relayout-free formulations were A/B slope-timed SLOWER — batching
+    # with non-leading batch dims and the (p,j)-contracting S dot_general
+    # both lower to broadcast-multiply-reduce fusions instead of MXU
+    # convolutions (420 vs 322 us/iter) — keep batch dims LEADING and S as
+    # plain 2D matmuls.
     W6 = W_pm.reshape(6, 3, P, Mo)
     b2 = lambda a: a[None, :, None]  # [P] -> [1,P,1]
     Ze0 = W6[:, 0] * b2(i00)
@@ -368,8 +378,13 @@ def _schur_terms(
     )  # [P,18,K]
     Z4 = Zb.transpose(2, 1, 0).reshape(K, 6, 3, P)  # rows (k,i), minor p
     Zt_j = [Z4[:, :, j, :].reshape(K * 6, P) for j in range(3)]
-    # S = -Z Z^T as 3 clean [6K,P]x[P,6K] MXU matmuls (the flattened
-    # [6K,3P] form forced a (P,3)-minor relayout copy each iteration)
+    # S = -Z Z^T as 3 clean [6K,P]x[P,6K] MXU matmuls. r5 note: THREE
+    # "cleaner" relayout-free reformulations were A/B slope-timed SLOWER
+    # through the remote compiler (420/556 vs 322 us/iter): batched
+    # dot_general with non-leading batch dims, the (p,j)-contracting
+    # [K,6,K,6] dot, and the i-major [3P,6,K] B^T B form all lower to
+    # broadcast-multiply-reduce fusions instead of MXU convolutions. The
+    # transpose/slice copies below are cheaper than losing the MXU.
     S_dense = -(
         Zt_j[0] @ Zt_j[0].T + Zt_j[1] @ Zt_j[1].T + Zt_j[2] @ Zt_j[2].T
     )
@@ -397,7 +412,9 @@ def _schur_terms(
 
 def _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K: int):
     """Add the trace-scaled damping prior / fixed-camera prior to the
-    (possibly psum'd) reduced system and solve for the camera step."""
+    (possibly psum'd) reduced system and solve for the camera step.
+
+    (k,i)-major ordering throughout, matching _schur_terms."""
     S4 = S0.reshape(K, 6, K, 6)
     KI = jnp.arange(K)
     diag_blocks = S4[KI, :, KI, :]  # [K,6,6]
@@ -418,7 +435,12 @@ def _back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active):
     hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
     P = bp.shape[0]
     Mo = W_pm.shape[-1]
-    dc_e = (Uflat @ dc).T.reshape(6, P, Mo)
+    # [6,E] directly (the (U @ dc).T form paid a 0.5 MB relayout copy)
+    dc_e = jax.lax.dot_general(
+        dc, Uflat, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(6, P, Mo)
     Wt_dc = hp("ijpm,ipm->pj", W_pm.reshape(6, 3, P, Mo), dc_e)  # [P,3]
     return hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
 
@@ -457,7 +479,11 @@ def _edge_chi2(cam, kf_Tcw, pt_pos, es: _EdgeStatic, obs_ok):
     P, Mo, K = es.cam_onehot.shape
     E = P * Mo
     Uflat = es.cam_onehot.reshape(E, K)
-    T16 = (Uflat @ kf_Tcw.reshape(K, 16)).T  # [16, E]
+    T16 = jax.lax.dot_general(
+        kf_Tcw.reshape(K, 16), Uflat, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [16, E] directly, no relayout
     Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
     x = T16[0] * Xw[0] + T16[1] * Xw[1] + T16[2] * Xw[2] + T16[3]
     y = T16[4] * Xw[0] + T16[5] * Xw[1] + T16[6] * Xw[2] + T16[7]
