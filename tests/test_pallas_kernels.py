@@ -272,3 +272,19 @@ def test_pose_kernel_mono_no_prior():
         pose_opt._POSE_KERNEL = saved
     np.testing.assert_allclose(np.asarray(rf.Tcw), np.asarray(rx.Tcw), atol=5e-5)
     assert int(rf.n_inliers) == int(rx.n_inliers)
+
+
+def test_mxu_hamming_matches_vpu(rng):
+    """The int8-MXU hamming_matrix path (production on TPU) must equal the
+    VPU xor+popcount oracle exactly."""
+    a = jnp.asarray(rng.integers(0, 2**32, size=(300, 8), dtype=np.uint64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, size=(200, 8), dtype=np.uint64).astype(np.uint32))
+    saved = ham._MXU_HAMMING
+    try:
+        ham._MXU_HAMMING = False
+        ref = np.asarray(ham.hamming_matrix(a, b))
+        ham._MXU_HAMMING = True  # force the MXU formulation on CPU
+        out = np.asarray(ham.hamming_matrix(a, b))
+    finally:
+        ham._MXU_HAMMING = saved
+    np.testing.assert_array_equal(out, ref)
