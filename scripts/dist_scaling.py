@@ -108,6 +108,68 @@ def main():
     print("scaling line (t1/tN, ideal=N on real hardware): "
           + ", ".join(f"{n}:{base/times[n]:.2f}x" for n in (1, 2, 4, 8)))
 
+    # ---- distributed Sim3 pose graph at production shape (r5) ----------
+    # K=192 loop-bearing ring: [7K,7K] = [1344,1344] normal equations,
+    # ~380 edges sharded over 'dp'; per-iteration comm = ONE psum of the
+    # dense system (7K)^2*4 B = 7.2 MB. Same invariance + trend contract
+    # as the BA block above.
+    from sdslam_tpu.geometry import lie
+    from sdslam_tpu.parallel.dist_pose_graph import distributed_pose_graph
+    from sdslam_tpu.solvers import pose_graph as pg_mod
+
+    Kp = 192
+    rngp = np.random.default_rng(11)
+    T_gtp = []
+    for k in range(Kp):
+        th = 2 * np.pi * k / Kp
+        xi = np.array([np.sin(th), 0.1 * np.sin(2 * th), 1 - np.cos(th),
+                       0, th, 0], np.float32)
+        T_gtp.append(np.asarray(lie.se3_exp(jnp.asarray(xi * 0.5))))
+    T_estp = [T_gtp[0]]
+    for k in range(1, Kp):
+        rel = T_gtp[k] @ np.linalg.inv(T_gtp[k - 1])
+        d = rngp.normal(size=6).astype(np.float32) * 0.25 / Kp
+        T_estp.append(
+            np.asarray(lie.se3_exp(jnp.asarray(d))) @ rel @ T_estp[-1])
+    kf_Sp = jnp.asarray(np.stack(T_estp))
+    validp = jnp.ones((Kp,), bool)
+    parentp = jnp.asarray(
+        np.concatenate([[-1], np.arange(Kp - 1)]).astype(np.int32))
+    covisp = np.zeros((Kp, Kp), np.int32)
+    for k in range(1, Kp):
+        covisp[k - 1, k] = covisp[k, k - 1] = 150
+    S_loopp = jnp.asarray(
+        (T_gtp[Kp - 1] @ np.linalg.inv(T_gtp[0]))[None])
+    edgesp, _dropped = pg_mod.make_edges_from_covisibility(
+        kf_Sp, validp, jnp.asarray(covisp), parentp,
+        loop_i=jnp.asarray([Kp - 1]), loop_j=jnp.asarray([0]),
+        loop_S=S_loopp, covis_min=100, max_edges=1024,
+    )
+    fixedp = jnp.zeros((Kp,), bool).at[0].set(True)
+    n_e = int(jnp.sum(edgesp.weight > 0))
+    print(f"\npose graph: K={Kp} ([{7*Kp},{7*Kp}] system), "
+          f"{n_e} active edges")
+    pg_results = {}
+    for n_dev in (1, 2, 4, 8):
+        meshp = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+        S_opt = distributed_pose_graph(
+            meshp, kf_Sp, validp, fixedp, edgesp, iters=2)
+        jax.block_until_ready(S_opt)  # compile
+        t0 = time.perf_counter()
+        S_opt = distributed_pose_graph(
+            meshp, kf_Sp, validp, fixedp, edgesp, iters=args.iters)
+        jax.block_until_ready(S_opt)
+        dt = (time.perf_counter() - t0) / args.iters
+        pg_results[n_dev] = np.asarray(S_opt)
+        print(f"shards={n_dev}: {dt*1e3:8.1f} ms/GN-iter")
+    for n_dev in (2, 4, 8):
+        dS = np.abs(pg_results[n_dev] - pg_results[1]).max()
+        ok = dS < 5e-4
+        print(f"invariance vs 1 shard: n={n_dev} max|dS|={dS:.2e} "
+              f"{'OK' if ok else 'FAIL'}")
+        if not ok:
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
