@@ -117,6 +117,17 @@ def main(argv=None):
                         fps=fps,
                     )
                 )
+            elif os.path.exists(
+                os.path.join(args.data, "mav0", "cam0", "data.csv")
+            ):
+                # EuRoC ASL layout, monocular-only (the reference's
+                # Examples/Monocular/EuRoC.yaml + monocular.cc:52-196
+                # workload — BASELINE config 3: direct ImageAlign tracking
+                # + EPnP relocalization, no IMU)
+                from sdslam_tpu.io.datasets import EuRoCDataset
+
+                ds = EuRoCDataset(args.data)
+                frames = ((ts, img, None) for ts, img in ds)
             else:
                 from sdslam_tpu.io.datasets import TUMMonoDataset
 
