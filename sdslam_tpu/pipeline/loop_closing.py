@@ -524,6 +524,15 @@ class LoopCloser:
     # r2 weak #5)
     _verifying: list = dataclasses.field(default_factory=list)
     _seed: int = 0
+    # post-closure cooldown (LoopClosing.cc:109-110, mLastLoopKFid set at
+    # :532): detection is IGNORED for the 10 keyframes after an accepted
+    # correction — without it the revisit segment keeps re-detecting the
+    # just-closed loop and every re-correction pays the full host-sequenced
+    # CorrectLoop chain (measured r5: 6 corrections in a 210-frame circuit
+    # cost ~40% of end-to-end fps; with the reference's gate: 1)
+    LOOP_COOLDOWN_KFS: int = 10
+    _kf_count: int = 0
+    _last_loop_kf: int = -(10 ** 9)
 
     # -- async API (used by the System frame loop) ---------------------------
 
@@ -532,6 +541,9 @@ class LoopCloser:
         dispatch, NO host synchronization (the reference decouples loop
         closing on a thread, LoopClosing.cc:61-87; here the decoupling is
         the async result queue + on-device consistency state)."""
+        self._kf_count += 1
+        if self._kf_count < self._last_loop_kf + self.LOOP_COOLDOWN_KFS:
+            return  # reference cooldown: ignore detection after a closure
         if self._cons is None or self._cons.mask.shape[0] != ms.K:
             self._cons = init_consistency(ms.K)
         packed, self._cons, _ = detect_and_consistency(
@@ -688,6 +700,7 @@ class LoopCloser:
             ms = ba.global_ba(self.cam, ms, scale_factor=self.scale_factor)
         info["corrected"] = True
         self._cons = None  # clear consistency history after a closure
+        self._last_loop_kf = self._kf_count  # arm the detection cooldown
         return ms, info
 
     # -- synchronous API (tests / offline) ------------------------------------
