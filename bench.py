@@ -36,9 +36,10 @@ r5 restructure (VERDICT r4 #1 — the r4 capture read 60 fps while slope
 timing put the compute bound at ~190): a pass was only 64 frames ≈ 1 s of
 work, so per-pass fixed costs (program-boundary round trips, ramp-up,
 drain) dominated the wall clock. Now:
-  * 256 frames per pass (8 chunks x 32) — fixed costs amortize over 4x
+  * 384 frames per pass (12 chunks x 32) — fixed costs amortize over 6x
     the work; the monotone 38.9 -> 60.0 intra-run ramp of BENCH_r04 was
-    exactly this effect.
+    exactly this effect. (Captured same-day: 60 fps r4 structure -> 95-97
+    at 256 frames -> 108-110 at 384, passes 98-110, in-pass rate 139-159.)
   * Chunk-program dispatch rides a bounded in-flight window (3 programs):
     >~8 queued programs trip the tunnel's backpressure collapse
     (CLAUDE.md), while a 3-deep window keeps the device saturated with
@@ -61,7 +62,7 @@ import numpy as np
 
 WARMUP = 6  # per-frame init segment (map bootstrap)
 CHUNK = 32
-N_CHUNKS = 8  # 256 frames/pass: fixed per-pass costs amortize over ~4-6 s
+N_CHUNKS = 12  # 384 frames/pass: fixed per-pass costs amortize over ~3-4 s of work
 MAX_INFLIGHT = 3  # chunk programs in flight (tunnel backpressure guard)
 # r4 (advisor): FIXED pass count — the stopping rule must not depend on
 # the reported score (sampling-until-lucky biases the headline upward).
