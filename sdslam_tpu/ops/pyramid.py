@@ -46,16 +46,19 @@ def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
 def downsample2(img):
     """Anti-aliased exact 2x downsample: 5-tap blur then stride 2.
 
-    The decimation is a reshape + unit slice, NOT `[::2, ::2]`: XLA lowers
-    a stride-2 slice along the minor (lane) dimension to a GATHER on TPU
-    (~0.8 ms at 640x480); the reshaped unit slice is a plain contiguous
-    copy (~20 us) and selects exactly the same pixels."""
+    r5: decimation is a PLAIN strided lax.slice. The r1 reading that a
+    stride-2 minor-axis slice lowers to a ~0.8 ms gather no longer holds —
+    A/B slope-timed on TPU, the whole 4-level decimation chain is 29.5 us
+    as strided slices vs 276 us for the r1 reshape+unit-slice workaround
+    (whose [H/2,2,W/2,2] intermediates forced a ~55 us relayout copy per
+    level in the full extractor); a one-hot MXU matmul decimation ties the
+    strided slice (28 us). All three select exactly the same pixels."""
     blurred = _sep_conv2d(img, gaussian_kernel1d(1.0, 2))
     H, W = blurred.shape
     Hp, Wp = H + (H & 1), W + (W & 1)
     if (Hp, Wp) != (H, W):
         blurred = jnp.pad(blurred, ((0, Hp - H), (0, Wp - W)), mode="edge")
-    return blurred.reshape(Hp // 2, 2, Wp // 2, 2)[:, 0, :, 0]
+    return jax.lax.slice(blurred, (0, 0), (Hp, Wp), (2, 2))
 
 
 def level_scales(n_levels: int, scale_factor: float) -> List[float]:
