@@ -129,11 +129,12 @@ def main():
     v = 525.0 * Xc[..., 1] / Xc[..., 2] + 239.5
     uv_obs = np.stack([u, v], -1).astype(np.float32) + rng.normal(0, 0.5, (P, Mo, 2))
     ur_obs = (u - 40.0 / Xc[..., 2]).astype(np.float32)
-    onehot = (obs_cam[..., None] == np.arange(K)).astype(np.float32)
+    onehot = (obs_cam.T[..., None] == np.arange(K)).astype(np.float32)
+    # r5 v2: _EdgeStatic is observation-major [Mo, P]
     es = ba._EdgeStatic(
-        jnp.asarray(uv_obs), jnp.asarray(ur_obs),
-        jnp.ones((P, Mo), jnp.float32), jnp.ones((P, Mo), bool),
-        jnp.asarray(onehot),
+        jnp.asarray(uv_obs.transpose(1, 0, 2)), jnp.asarray(ur_obs.T),
+        jnp.ones((Mo, P), jnp.float32), jnp.ones((Mo, P), bool),
+        jnp.asarray(onehot), jnp.asarray(obs_cam.T.astype(np.float32)),
     )
     obs_ok = jnp.ones((P, Mo), bool)
     cam_act = jnp.ones((K,), bool).at[0].set(False)

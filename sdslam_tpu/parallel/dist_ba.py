@@ -51,7 +51,7 @@ def make_distributed_gn_step(mesh: Mesh, cam: CameraModel, K: int,
         es = ba_mod._prep_edges(
             obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K
         )
-        S0, bs, Hpp_inv, W_pm, bp, _cost, Uflat = ba_mod._schur_terms(
+        S0, bs, Hpp_inv, W_pm, ybp, _cost, Uflat = ba_mod._schur_terms(
             cam, kf_Tcw, pt_pos, es, obs_ok, cam_active, pt_active,
             use_huber, lm_lambda,
         )
@@ -61,7 +61,7 @@ def make_distributed_gn_step(mesh: Mesh, cam: CameraModel, K: int,
         bs = jax.lax.psum(bs, "dp")
         dc = ba_mod._apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K)
         # local landmark back-substitution on this shard
-        dp = ba_mod._back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active)
+        dp = ba_mod._back_substitute(dc, Uflat, W_pm, Hpp_inv, ybp, pt_active)
         kf_Tcw_new = jnp.where(
             cam_active[:, None, None], lie.se3_exp(dc) @ kf_Tcw, kf_Tcw
         )

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from sdslam_tpu.geometry import lie
 from sdslam_tpu.geometry.camera import CameraModel
 from sdslam_tpu.mapping import map_state as M
-from sdslam_tpu.ops.pallas import ba_edge_kernel as bak
+from sdslam_tpu.ops.pallas import ba_schur_kernel as bsk
 
 from sdslam_tpu.solvers.ba_const import (  # noqa: F401 (re-exported)
     CHI2_MONO,
@@ -73,18 +73,24 @@ class BAResult(NamedTuple):
 class _EdgeStatic(NamedTuple):
     """Per-edge observation data that never changes across LM iterations —
     gathered ONCE per bundle_adjust (the per-iteration [P,M] gathers from the
-    keyframe tables were a dominant BA cost on TPU)."""
+    keyframe tables were a dominant BA cost on TPU).
 
-    uv_obs: jnp.ndarray  # [P,M,2]
-    ur_obs: jnp.ndarray  # [P,M]
-    inv_sigma2: jnp.ndarray  # [P,M]
-    stereo: jnp.ndarray  # [P,M] bool
-    cam_onehot: jnp.ndarray  # [P,M,K] f32 one-hot of the observing camera
+    Layout is OBSERVATION-MAJOR [Mo, P] (r5 v2): a point's observations sit
+    on the sublane axis and points on the 128-lane axis, so the fused Schur
+    kernel (ops/pallas/ba_schur_kernel.py) can do per-point reductions and
+    the per-camera Z-scatter in-kernel. Flat edge index e = m * P + p."""
+
+    uv_obs: jnp.ndarray  # [Mo,P,2]
+    ur_obs: jnp.ndarray  # [Mo,P]
+    inv_sigma2: jnp.ndarray  # [Mo,P]
+    stereo: jnp.ndarray  # [Mo,P] bool
+    cam_onehot: jnp.ndarray  # [Mo,P,K] f32 one-hot of the observing camera
+    cam_idx: jnp.ndarray  # [Mo,P] f32 clipped camera index
 
 
 def _prep_edges(obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K):
-    c = jnp.clip(obs_kf, 0, K - 1)
-    k = jnp.clip(obs_kp, 0, kf_uv_und.shape[1] - 1)
+    c = jnp.clip(obs_kf, 0, K - 1).T  # [M,P]
+    k = jnp.clip(obs_kp, 0, kf_uv_und.shape[1] - 1).T
     # one packed (u, v, u_r, octave) gather: ~10 ns/index, 4 fields/index
     fields = jnp.concatenate(
         [
@@ -100,25 +106,8 @@ def _prep_edges(obs_kf, obs_kp, kf_uv_und, kf_uright, kf_octave, scale_factor, K
     inv_sigma2 = 1.0 / scale_factor ** (2.0 * g[..., 3])
     stereo = ur_obs >= 0
     onehot = (c[..., None] == jnp.arange(K)[None, None, :]).astype(jnp.float32)
-    return _EdgeStatic(uv_obs, ur_obs, inv_sigma2, stereo, onehot)
-
-
-def _inv3x3_spd(A):
-    """Closed-form (adjugate) inverse of batched 3x3 SPD matrices.
-    jnp.linalg.inv on [P,3,3] lowers to a per-matrix pivoted LU on TPU —
-    ~35x slower than the cofactor formula for this size."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    A11 = e * i - f * h
-    A21 = f * g - d * i
-    A31 = d * h - e * g
-    det = a * A11 + b * A21 + c * A31
-    idet = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
-    row0 = jnp.stack([A11, c * h - b * i, b * f - c * e], -1)
-    row1 = jnp.stack([A21, a * i - c * g, c * d - a * f], -1)
-    row2 = jnp.stack([A31, b * g - a * h, a * e - b * d], -1)
-    return jnp.stack([row0, row1, row2], -2) * idet[..., None, None]
+    return _EdgeStatic(uv_obs, ur_obs, inv_sigma2, stereo, onehot,
+                       c.astype(jnp.float32))
 
 
 def _chol3x3(h00, h01, h02, h11, h12, h22):
@@ -146,80 +135,102 @@ def _schur_terms(
 ):
     """Edge pass + Schur assembly WITHOUT the camera prior/solve: returns
     (S0 [K6,K6] reduced camera system (Hcc on the diagonal, no damping
-    prior), bs [K,6], Hpp_inv [P,3,3], W_pm [18,P,Mo], bp [P,3],
-    cost_cur scalar, Uflat [E,K]).
+    prior), bs [K,6], Hpp_inv [P,3,3], W_pm [18,Mo,P], ybp [P,3] =
+    Hpp^-1 bp, cost_cur scalar, Uflat [E,K]).
 
     Every returned term is either a plain sum over this problem's edges
-    (S0, bs, cost) or point-local (Hpp_inv, W_pm, bp) — exactly the
+    (S0, bs, cost) or point-local (Hpp_inv, W_pm, ybp) — exactly the
     contract the DISTRIBUTED backend needs: shard points over a mesh, run
     this per shard, psum (S0, bs, cost), apply the prior globally, solve
     replicated, back-substitute locally (parallel/dist_ba.py).
 
-    Layout: everything is computed as flat per-edge [E] vectors (E = P*M,
-    the minor-most dimension) with EXPLICIT scalar Jacobian formulas instead
-    of [P,M,3,6] einsums — trailing dims of 3/6 waste TPU lanes (pad to 128)
-    and made assembly ~7x slower. Edge->camera reductions are one-hot matmuls
-    (MXU); the Schur complement uses the Cholesky factorization of the damped
-    point blocks, Hpp^-1 = Linv^T Linv, so S = Hcc - Z Z^T is ONE dense
-    [6K, 3P] x [3P, 6K] MXU matmul."""
+    Layout (r5 v2): edges live in OBSERVATION-MAJOR [Mo, P] planes (points
+    on the minor/lane axis) so the fused kernel can reduce per point on
+    sublanes and scatter the Schur factor Z per camera in-kernel
+    (ops/pallas/ba_schur_kernel.py). The r4 flat-[E] formulation left
+    ~180 us/iteration in the XLA around its edge kernel — a 61 us
+    point-batched one-hot matmul for Z plus ~117 us of layout copies
+    (scripts/diag_profile_ba.py, r5 measurement). Per-camera reductions
+    (Hcc/bc columns, V·ybp) remain clean [C,E] x [E,K] one-hot MXU matmuls;
+    S = Hcc - Z Z^T is 3 plain [6K,P] x [P,6K] MXU matmuls."""
     K = kf_Tcw.shape[0]
-    P, Mo = obs_ok.shape
-    E = P * Mo
+    Mo, P = es.ur_obs.shape
+    E = Mo * P
     hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
     f32 = jnp.float32
 
     Uflat = es.cam_onehot.reshape(E, K)
-    # camera pose per edge, via one MXU matmul (no scattered [P,M,4,4]
-    # gather); contracted to [16,E] DIRECTLY — the (U @ T).T form
-    # materialized an [E,16] intermediate plus a 1.3 MB relayout copy
+    # camera pose per edge, via one MXU matmul (no scattered [4,4]-gather);
+    # contracted to [16,E] DIRECTLY — the (U @ T).T form materialized an
+    # [E,16] intermediate plus a 1.3 MB relayout copy
     T16 = jax.lax.dot_general(
         kf_Tcw.reshape(K, 16), Uflat, (((0,), (1,)), ((), ())),
         preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
     )  # [16, E]
-    Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
-    stereo = es.stereo.reshape(E)
-    info = es.inv_sigma2.reshape(E)
-    uv_obs = es.uv_obs.reshape(E, 2)
-    cam_act_e = Uflat @ cam_active.astype(f32)  # [E]
-    pt_act_e = jnp.broadcast_to(
-        pt_active[:, None], (P, Mo)
-    ).reshape(E).astype(f32)
-
-    def psum(e):
-        return e.reshape(P, Mo).sum(axis=1)
+    okT = obs_ok.T  # [Mo,P]
+    cam_act_e = (Uflat @ cam_active.astype(f32)).reshape(Mo, P)
+    pt_act_e = jnp.broadcast_to(pt_active[None, :], (Mo, P)).astype(f32)
 
     if _edge_kernel_enabled():
-        # fused Pallas edge pass: all per-edge residual/Jacobian/H/b math in
-        # ONE kernel (the ~50 separate elementwise fusions it replaces were
-        # launch-overhead-bound, ~10x off the HBM roofline)
+        # fused Pallas pass: per-edge math + per-point elimination + the
+        # per-camera Z-scatter in ONE kernel (module doc of ba_schur_kernel)
+        emit_zt = K <= bsk.ZT_MAX_K
         packed = jnp.concatenate(
             [
-                T16,
-                Xw,
-                uv_obs.T,
-                es.ur_obs.reshape(1, E),
-                info[None],
-                stereo.astype(f32)[None],
-                obs_ok.reshape(E).astype(f32)[None],
+                T16.reshape(16, Mo, P),
+                jnp.broadcast_to(pt_pos.T[:, None, :], (3, Mo, P)),
+                es.uv_obs[None, ..., 0],
+                es.uv_obs[None, ..., 1],
+                es.ur_obs[None],
+                es.inv_sigma2[None],
+                es.stereo.astype(f32)[None],
+                okT.astype(f32)[None],
                 cam_act_e[None],
                 pt_act_e[None],
+                es.cam_idx[None],
             ],
             axis=0,
-        )  # [27, E]
-        terms = bak.ba_edge_terms(
-            packed, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, use_huber
-        )  # [55, E]
-        W_pm = terms[0:18].reshape(18, P, Mo)
-        HG = (terms[18:45] @ Uflat).T  # [K,27]
-        # hpp (6) + bp (3) + cost (1) in ONE packed [10,P,Mo] reduction
-        # (ten separate small reduces each paid an op dispatch)
-        red = terms[45:55].reshape(10, P, Mo).sum(-1)  # [10,P]
-        hpp = [red[i] for i in range(6)]  # 00,01,02,11,12,22
-        bp = red[6:9].T  # [P,3]
-        cost_cur = jnp.sum(red[9])
+        )  # [28, Mo, P]
+        edge, rows, zt = bsk.ba_edge_schur(
+            packed, lm_lambda, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            use_huber, K, emit_zt=emit_zt,
+        )
+        W_pm = edge[0:18]  # [18, Mo, P]
+        HG = (edge[18:45].reshape(27, E) @ Uflat).T  # [K,27]
+        Vyb = (edge[45:51].reshape(6, E) @ Uflat).T  # [K,6]
+        s00, s01, s02, s11, s12, s22 = (rows[i] for i in range(6))
+        Hpp_inv = jnp.stack(
+            [
+                jnp.stack([s00, s01, s02], -1),
+                jnp.stack([s01, s11, s12], -1),
+                jnp.stack([s02, s12, s22], -1),
+            ],
+            -2,
+        )  # [P,3,3]
+        ybp = rows[6:9].T  # [P,3]
+        cost_cur = jnp.sum(rows[9])
+        if zt is not None:
+            K6 = 6 * K
+            S_dense = -(
+                zt[0:K6] @ zt[0:K6].T
+                + zt[K6:2 * K6] @ zt[K6:2 * K6].T
+                + zt[2 * K6:] @ zt[2 * K6:].T
+            )
+        else:
+            S_dense = _schur_S_from_ze(edge[51:69], es.cam_onehot, K)
     else:
         # XLA fallback (CPU tests / non-TPU backends): identical math as
-        # explicit flat-[E] scalar formulas
+        # explicit flat-[E] scalar formulas, e = m * P + p
+        Xw = jnp.broadcast_to(pt_pos.T[:, None, :], (3, Mo, P)).reshape(3, E)
+        stereo = es.stereo.reshape(E)
+        info = es.inv_sigma2.reshape(E)
+        uv_obs = es.uv_obs.reshape(E, 2)
+        cam_e = cam_act_e.reshape(E)
+        pt_e = pt_act_e.reshape(E)
+
+        def psum(e):
+            return e.reshape(Mo, P).sum(axis=0)
+
         r00, r01, r02, t0 = T16[0], T16[1], T16[2], T16[3]
         r10, r11, r12, t1 = T16[4], T16[5], T16[6], T16[7]
         r20, r21, r22, t2 = T16[8], T16[9], T16[10], T16[11]
@@ -236,7 +247,7 @@ def _schur_terms(
         res0 = u - uv_obs[:, 0]
         res1 = v - uv_obs[:, 1]
         res2 = jnp.where(stereo, ur - es.ur_obs.reshape(E), 0.0)
-        ok = (obs_ok.reshape(E) & (z > 0.05)).astype(f32)
+        ok = (okT.reshape(E) & (z > 0.05)).astype(f32)
 
         chi2 = (res0 * res0 + res1 * res1 + res2 * res2) * info
         hub = jnp.where(stereo, HUBER_STEREO, HUBER_MONO)
@@ -266,10 +277,10 @@ def _schur_terms(
             cx_ = c_ * y - b * z
             cy_ = a * z - c_ * x
             cz_ = b * x - a * y
-            Jc.append(tuple(cam_act_e * q for q in (a, b, c_, cx_, cy_, cz_)))
+            Jc.append(tuple(cam_e * q for q in (a, b, c_, cx_, cy_, cz_)))
             Jp.append(
                 tuple(
-                    pt_act_e * q
+                    pt_e * q
                     for q in (
                         a * r00 + b * r10 + c_ * r20,
                         a * r01 + b * r11 + c_ * r21,
@@ -307,9 +318,59 @@ def _schur_terms(
             for i in range(6)
             for j in range(3)
         ]
-        W_pm = jnp.stack(w_cols, axis=0).reshape(18, P, Mo)
+        W_pm = jnp.stack(w_cols, axis=0).reshape(18, Mo, P)
         G = jnp.stack(g_cols, axis=1)  # [E,27]
         HG = hp("ek,ec->kc", Uflat, G)  # [K,27]
+
+        # damped point blocks: closed-form Cholesky + inverse ([P] rows),
+        # Hpp^-1 = Linv^T Linv (identical formula to the kernel path)
+        h00, h01, h02, h11, h12, h22 = hpp
+        damp = lm_lambda * jnp.maximum((h00 + h11 + h22) / 3.0, 1e-8) + 1e-9
+        h00, h11, h22 = h00 + damp, h11 + damp, h22 + damp
+        l00, l10, l20, l11, l21, l22 = _chol3x3(h00, h01, h02, h11, h12, h22)
+        i00 = 1.0 / l00
+        i11 = 1.0 / l11
+        i22 = 1.0 / l22
+        i10 = -l10 * i00 * i11
+        i20 = (l10 * l21 - l20 * l11) * i00 * i11 * i22
+        i21 = -l21 * i11 * i22
+        s00 = i00 * i00 + i10 * i10 + i20 * i20
+        s01 = i10 * i11 + i20 * i21
+        s02 = i20 * i22
+        s11 = i11 * i11 + i21 * i21
+        s12 = i21 * i22
+        s22 = i22 * i22
+        Hpp_inv = jnp.stack(
+            [
+                jnp.stack([s00, s01, s02], -1),
+                jnp.stack([s01, s11, s12], -1),
+                jnp.stack([s02, s12, s22], -1),
+            ],
+            -2,
+        )  # [P,3,3]
+        ybp = hp("pij,pj->pi", Hpp_inv, bp)  # [P,3]
+
+        # Z = V Linv^T at the edge level (Linv rows fold into W), then the
+        # point-batched one-hot contraction scatters it per camera
+        W6 = W_pm.reshape(6, 3, Mo, P)
+        b2 = lambda a: a[None, None, :]  # [P] -> [1,1,P]
+        Ze = jnp.concatenate(
+            [
+                W6[:, 0] * b2(i00),
+                W6[:, 0] * b2(i10) + W6[:, 1] * b2(i11),
+                W6[:, 0] * b2(i20) + W6[:, 1] * b2(i21) + W6[:, 2] * b2(i22),
+            ],
+            axis=0,
+        )  # [18, Mo, P], channel j*6+i
+        S_dense = _schur_S_from_ze(Ze, es.cam_onehot, K)
+
+        # V·ybp contracted at the EDGE level ([6,E] @ [E,K] matmul)
+        Vyb = hp(
+            "ce,ek->kc",
+            jnp.sum(W6 * ybp.T[None, :, None, :], axis=1).reshape(6, E),
+            Uflat,
+        )  # [K,6]
+
     # symmetric 6x6 from 21 packed columns via ONE gather (a scatter loop
     # here cost ~40 unfused kernels per LM iteration)
     tri_index = {}
@@ -321,93 +382,40 @@ def _schur_terms(
     )  # [6,6]
     Hcc = HG[:, gather_map.reshape(-1)].reshape(K, 6, 6)
     bc = HG[:, 21:]  # [K,6]
-
-    # damped point blocks: closed-form Cholesky + inverse (elementwise [P])
-    h00, h01, h02, h11, h12, h22 = hpp
-    trace = h00 + h11 + h22
-    damp = lm_lambda * jnp.maximum(trace / 3.0, 1e-8) + 1e-9
-    h00, h11, h22 = h00 + damp, h11 + damp, h22 + damp
-    Hpp_d = jnp.stack(
-        [
-            jnp.stack([h00, h01, h02], -1),
-            jnp.stack([h01, h11, h12], -1),
-            jnp.stack([h02, h12, h22], -1),
-        ],
-        -2,
-    )
-    Hpp_inv = _inv3x3_spd(Hpp_d)  # [P,3,3]
-    # Cholesky Hpp_d = L L^T, so Hpp^-1 = Linv^T Linv and the Schur product
-    # V Hpp^-1 V^T becomes Z Z^T with Z = V Linv^T
-    l00, l10, l20, l11, l21, l22 = _chol3x3(h00, h01, h02, h11, h12, h22)
-    # explicit lower-triangular inverse of L (3x3 closed form)
-    i00 = 1.0 / l00
-    i11 = 1.0 / l11
-    i22 = 1.0 / l22
-    i10 = -l10 * i00 * i11
-    i20 = (l10 * l21 - l20 * l11) * i00 * i11 * i22
-    i21 = -l21 * i11 * i22
-    # Linv rows: [[i00,0,0],[i10,i11,0],[i20,i21,i22]]
-
-    # Z = (V Linv^T) built WITHOUT materializing V (r4: the einsum that
-    # emitted V [K,6,P,3] directly lowered to a broadcast-multiply-reduce
-    # over [P,M,K,18] — ~94 us/iteration of HBM traffic, plus ~110 us of
-    # layout copies and a 40 us V*ybp reduce; jax.profiler,
-    # scripts/diag_profile_ba.py). Linv^T folds into the EDGE-level W
-    # (cheap [P,Mo] elementwise), then one batched MXU dot_general
-    # contracts edges -> cameras per point. r5 note: two "cleaner"
-    # relayout-free formulations were A/B slope-timed SLOWER — batching
-    # with non-leading batch dims and the (p,j)-contracting S dot_general
-    # both lower to broadcast-multiply-reduce fusions instead of MXU
-    # convolutions (420 vs 322 us/iter) — keep batch dims LEADING and S as
-    # plain 2D matmuls.
-    W6 = W_pm.reshape(6, 3, P, Mo)
-    b2 = lambda a: a[None, :, None]  # [P] -> [1,P,1]
-    Ze0 = W6[:, 0] * b2(i00)
-    Ze1 = W6[:, 0] * b2(i10) + W6[:, 1] * b2(i11)
-    Ze2 = W6[:, 0] * b2(i20) + W6[:, 1] * b2(i21) + W6[:, 2] * b2(i22)
-    # [P,18,Mo]: batch p, contract m against the one-hot [P,Mo,K] (W is
-    # already masked by w = info*ok in both edge-term branches, so masked
-    # edges contribute exact zeros without re-masking the one-hot)
-    Zpm = jnp.stack([Ze0, Ze1, Ze2], axis=1).reshape(18, P, Mo).transpose(
-        1, 0, 2
-    )
-    Zb = jax.lax.dot_general(
-        Zpm, es.cam_onehot, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [P,18,K]
-    Z4 = Zb.transpose(2, 1, 0).reshape(K, 6, 3, P)  # rows (k,i), minor p
-    Zt_j = [Z4[:, :, j, :].reshape(K * 6, P) for j in range(3)]
-    # S = -Z Z^T as 3 clean [6K,P]x[P,6K] MXU matmuls. r5 note: THREE
-    # "cleaner" relayout-free reformulations were A/B slope-timed SLOWER
-    # through the remote compiler (420/556 vs 322 us/iter): batched
-    # dot_general with non-leading batch dims, the (p,j)-contracting
-    # [K,6,K,6] dot, and the i-major [3P,6,K] B^T B form all lower to
-    # broadcast-multiply-reduce fusions instead of MXU convolutions. The
-    # transpose/slice copies below are cheaper than losing the MXU.
-    S_dense = -(
-        Zt_j[0] @ Zt_j[0].T + Zt_j[1] @ Zt_j[1].T + Zt_j[2] @ Zt_j[2].T
-    )
-    S_dense = S_dense.reshape(K, 6, K, 6)
-    KI = jnp.arange(K)
-
-    # reduced gradient: bs = bc - V Hpp^-1 bp, with V·ybp contracted at the
-    # EDGE level ([6,E] @ [E,K] matmul) instead of over the dense V
-    ybp = hp("pij,pj->pi", Hpp_inv, bp)  # [P,3]
-    Vyb = hp(
-        "ce,ek->kc", jnp.sum(W6 * ybp.T[None, :, :, None], axis=1).reshape(6, E),
-        Uflat,
-    )  # [K,6]
     bs = bc - Vyb
 
     # fold Hcc onto the diagonal: S0 is now the complete reduced camera
     # system minus the damping prior (applied by the caller AFTER any
     # cross-shard psum — the prior scales with the GLOBAL diagonal trace)
-    S_dense = S_dense.at[KI, :, KI, :].add(Hcc)
+    KI = jnp.arange(K)
+    S_dense = S_dense.reshape(K, 6, K, 6).at[KI, :, KI, :].add(Hcc)
     return (
-        S_dense.reshape(K * 6, K * 6), bs, Hpp_inv, W_pm, bp,
+        S_dense.reshape(K * 6, K * 6), bs, Hpp_inv, W_pm, ybp,
         cost_cur, Uflat,
     )
+
+
+def _schur_S_from_ze(Ze, cam_onehot, K: int):
+    """-Z Z^T from edge-level Ze [18, Mo, P] (channel j*6+i): the
+    point-batched one-hot scatter + 3 plain [6K,P] x [P,6K] MXU matmuls.
+    Used when the in-kernel Z-scatter is off (XLA fallback / K > ZT_MAX_K).
+
+    r5 notes kept from the A/B slope-timing: THREE "cleaner" relayout-free
+    reformulations were SLOWER through the remote compiler (420/556 vs
+    322 us/iter) — batched dot_general with non-leading batch dims, the
+    (p,j)-contracting [K,6,K,6] dot, and the i-major [3P,6,K] B^T B form
+    all lower to broadcast-multiply-reduce fusions instead of MXU
+    convolutions. Keep batch dims LEADING and S as plain 2D matmuls."""
+    Mo, P = Ze.shape[1], Ze.shape[2]
+    Zpm = Ze.transpose(2, 0, 1)  # [P,18,Mo]
+    Zb = jax.lax.dot_general(
+        Zpm, cam_onehot.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P,18,K]
+    Z4 = Zb.transpose(2, 1, 0).reshape(K, 3, 6, P)  # (k, j, i, p)
+    Zt = [Z4[:, j].reshape(K * 6, P) for j in range(3)]
+    return -(Zt[0] @ Zt[0].T + Zt[1] @ Zt[1].T + Zt[2] @ Zt[2].T)
 
 
 def _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K: int):
@@ -430,19 +438,19 @@ def _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K: int):
     return dc * cam_active[:, None]
 
 
-def _back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active):
-    """Landmark step dp = Hpp^-1 (bp - W^T dc), point-local (shardable)."""
+def _back_substitute(dc, Uflat, W_pm, Hpp_inv, ybp, pt_active):
+    """Landmark step dp = Hpp^-1 (bp - W^T dc) = ybp - Hpp^-1 W^T dc,
+    point-local (shardable)."""
     hp = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-    P = bp.shape[0]
-    Mo = W_pm.shape[-1]
+    _, Mo, P = W_pm.shape
     # [6,E] directly (the (U @ dc).T form paid a 0.5 MB relayout copy)
     dc_e = jax.lax.dot_general(
         dc, Uflat, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(6, P, Mo)
-    Wt_dc = hp("ijpm,ipm->pj", W_pm.reshape(6, 3, P, Mo), dc_e)  # [P,3]
-    return hp("pij,pj->pi", Hpp_inv, bp - Wt_dc) * pt_active[:, None]
+    ).reshape(6, Mo, P)
+    Wt_dc = hp("ijmp,imp->pj", W_pm.reshape(6, 3, Mo, P), dc_e)  # [P,3]
+    return (ybp - hp("pij,pj->pi", Hpp_inv, Wt_dc)) * pt_active[:, None]
 
 
 def _gn_iteration(
@@ -460,12 +468,12 @@ def _gn_iteration(
     """One damped GN step (single-device path): _schur_terms + prior +
     dense Cholesky + local back-substitution."""
     K = kf_Tcw.shape[0]
-    S0, bs, Hpp_inv, W_pm, bp, cost_cur, Uflat = _schur_terms(
+    S0, bs, Hpp_inv, W_pm, ybp, cost_cur, Uflat = _schur_terms(
         cam, kf_Tcw, pt_pos, es, obs_ok, cam_active, pt_active,
         use_huber, lm_lambda,
     )
     dc = _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K)
-    dp = _back_substitute(dc, Uflat, W_pm, Hpp_inv, bp, pt_active)
+    dp = _back_substitute(dc, Uflat, W_pm, Hpp_inv, ybp, pt_active)
     kf_Tcw_new = jnp.where(
         cam_active[:, None, None], lie.se3_exp(dc) @ kf_Tcw, kf_Tcw
     )
@@ -475,16 +483,17 @@ def _gn_iteration(
 
 def _edge_chi2(cam, kf_Tcw, pt_pos, es: _EdgeStatic, obs_ok):
     """chi2 [P,M] + (ok, stereo) masks, residuals only — flat [E] scalar
-    formulation (no Jacobians, no [.,3,6] einsums)."""
-    P, Mo, K = es.cam_onehot.shape
-    E = P * Mo
+    formulation (no Jacobians, no [.,3,6] einsums). Outputs stay [P,M]
+    (the caller-facing observation-table convention)."""
+    Mo, P, K = es.cam_onehot.shape
+    E = Mo * P
     Uflat = es.cam_onehot.reshape(E, K)
     T16 = jax.lax.dot_general(
         kf_Tcw.reshape(K, 16), Uflat, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # [16, E] directly, no relayout
-    Xw = jnp.broadcast_to(pt_pos.T[:, :, None], (3, P, Mo)).reshape(3, E)
+    Xw = jnp.broadcast_to(pt_pos.T[:, None, :], (3, Mo, P)).reshape(3, E)
     x = T16[0] * Xw[0] + T16[1] * Xw[1] + T16[2] * Xw[2] + T16[3]
     y = T16[4] * Xw[0] + T16[5] * Xw[1] + T16[6] * Xw[2] + T16[7]
     z = T16[8] * Xw[0] + T16[9] * Xw[1] + T16[10] * Xw[2] + T16[11]
@@ -498,8 +507,8 @@ def _edge_chi2(cam, kf_Tcw, pt_pos, es: _EdgeStatic, obs_ok):
     r1 = v - uv_obs[:, 1]
     r2 = jnp.where(stereo, ur - es.ur_obs.reshape(E), 0.0)
     chi2 = (r0 * r0 + r1 * r1 + r2 * r2) * es.inv_sigma2.reshape(E)
-    ok = obs_ok.reshape(E) & (z > 0.05)
-    return chi2.reshape(P, Mo), ok.reshape(P, Mo), es.stereo
+    ok = obs_ok.T.reshape(E) & (z > 0.05)
+    return chi2.reshape(Mo, P).T, ok.reshape(Mo, P).T, es.stereo.T
 
 
 def _robust_cost(cam, kf_Tcw, pt_pos, es, obs_ok, scale_factor):
@@ -549,7 +558,7 @@ def bundle_adjust(
     # STEREO observation (u_r ties it to measured depth: a full 3D
     # measurement, so no gauge freedom — the RGB-D case)
     n_obs = jnp.sum(obs_ok, axis=1)
-    n_stereo = jnp.sum(obs_ok & es.stereo, axis=1)
+    n_stereo = jnp.sum(obs_ok & es.stereo.T, axis=1)
     pt_act = pt_active & ms.pt_valid & ((n_obs >= 2) | (n_stereo >= 1))
     cam_act = cam_active & ms.kf_valid
     # only edges of optimizable points enter the system: a frozen point with
@@ -740,18 +749,19 @@ def local_ba(
         ],
         axis=-1,
     )  # [K,N,4] (dense build — bandwidth, not scatter)
-    g = fields[c_orig, kp_s]  # [PL,M,4]
+    g = fields[c_orig.T, kp_s.T]  # [M,PL,4] (obs-major edge layout)
     uv_obs = g[..., :2]
     ur_obs = g[..., 2]
     inv_sigma2 = 1.0 / scale_factor ** (2.0 * g[..., 3])
     onehot = (
-        (row_s[..., None] == jnp.arange(KL)[None, None, :])
-        & obs_ok[..., None]
+        (row_s.T[..., None] == jnp.arange(KL)[None, None, :])
+        & obs_ok.T[..., None]
     ).astype(jnp.float32)
-    es = _EdgeStatic(uv_obs, ur_obs, inv_sigma2, ur_obs >= 0, onehot)
+    es = _EdgeStatic(uv_obs, ur_obs, inv_sigma2, ur_obs >= 0, onehot,
+                     row_s.T.astype(jnp.float32))
 
     n_obs = jnp.sum(obs_ok, axis=1)
-    n_stereo = jnp.sum(obs_ok & es.stereo, axis=1)
+    n_stereo = jnp.sum(obs_ok & es.stereo.T, axis=1)
     pt_act = pt_in & ((n_obs >= 2) | (n_stereo >= 1))
     obs_ok = obs_ok & pt_act[:, None]
 

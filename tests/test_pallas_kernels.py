@@ -84,8 +84,8 @@ def test_ba_edge_kernel_matches_xla_gn():
         CAM, ms.kf_Tcw, ms.pt_pos, es, obs_ok, cam_active, ms.pt_valid,
         2.0, True, 1e-4,
     )
-    orig_terms = ba.bak.ba_edge_terms
-    ba.bak.ba_edge_terms = functools.partial(orig_terms, interpret=True)
+    orig_terms = ba.bsk.ba_edge_schur
+    ba.bsk.ba_edge_schur = functools.partial(orig_terms, interpret=True)
     ba._EDGE_KERNEL = True
     try:
         T_p, X_p, c_p = ba._gn_iteration(
@@ -93,12 +93,16 @@ def test_ba_edge_kernel_matches_xla_gn():
             2.0, True, 1e-4,
         )
     finally:
-        ba.bak.ba_edge_terms = orig_terms
+        ba.bsk.ba_edge_schur = orig_terms
         ba._EDGE_KERNEL = None
 
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_x), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(X_p), np.asarray(X_x), atol=5e-5)
+    # X tolerance is looser than T: the kernel folds Linv into the Z-scatter
+    # AFTER the per-point m-sum while the XLA path folds per-edge before it —
+    # identical math, different f32 summation order, amplified through the
+    # solve on the worst-conditioned points (~1e-4 on 2/1536 elements)
+    np.testing.assert_allclose(np.asarray(X_p), np.asarray(X_x), atol=3e-4)
 
 
 def test_fused_align_level_matches_xla_loop():
