@@ -253,7 +253,7 @@ def _kernel(misc_ref, in_ref, edge_ref, rows_ref, zt_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("fx", "fy", "cx", "cy", "bf", "use_huber", "K",
-                     "emit_zt", "interpret", "tpl"),
+                     "emit_zt", "interpret", "tpl", "mo_align"),
 )
 def ba_edge_schur(
     packed,  # [28, Mo, P] f32 channel-major per-edge inputs (see module doc)
@@ -268,14 +268,18 @@ def ba_edge_schur(
     emit_zt: bool = True,
     interpret: bool = False,
     tpl: int = 0,
+    mo_align: int = 1,
 ):
     """Returns (edge [51|69, Mo, P], rows [10, P], zt [18K, P] | None).
 
-    Mo is padded to a sublane multiple and P to the lane-tile multiple
-    internally; padded edges contribute exact zeros (w = 0)."""
+    P is padded to the lane-tile multiple internally; padded edges
+    contribute exact zeros (w = 0). Mosaic accepts non-8-multiple sublane
+    blocks directly (A/B at Mo=10: 27.6 us unpadded vs 28.3 us padded to
+    16, identical outputs) — mo_align is kept for re-measuring if a future
+    toolchain changes that."""
     C, Mo, P = packed.shape
     assert C == N_IN
-    mo_pad = (-Mo) % 8
+    mo_pad = (-Mo) % mo_align
     if mo_pad:
         packed = jnp.pad(packed, ((0, 0), (0, mo_pad), (0, 0)))
     Mo_p = Mo + mo_pad

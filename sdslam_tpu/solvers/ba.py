@@ -433,6 +433,12 @@ def _apply_prior_and_solve(S0, bs, cam_active, lm_lambda, K: int):
         prior[:, None, None] * jnp.broadcast_to(jnp.eye(6), (K, 6, 6))
     )
     S_flat = S4.reshape(K * 6, K * 6)
+    # Solver gate resolved ON DATA (r5): the cho_factor/cho_solve
+    # custom-calls are ~51 us at [144,144] and the fused Pallas
+    # factor+solve (ops/pallas/chol_kernel.py, parity-tested) measured
+    # 98 us — a blocked Cholesky is a ~2400-op sequential scalar/row chain
+    # whose per-op Mosaic latency exceeds the custom-calls' fixed cost at
+    # this size. Kept as the documented dead end; re-measure if K grows.
     L, low = jax.scipy.linalg.cho_factor(S_flat, lower=True)
     dc = jax.scipy.linalg.cho_solve((L, low), bs.reshape(K * 6)).reshape(K, 6)
     return dc * cam_active[:, None]

@@ -278,6 +278,22 @@ def test_pose_kernel_mono_no_prior():
     assert int(rf.n_inliers) == int(rx.n_inliers)
 
 
+def test_chol_solve_kernel_matches_lapack(rng):
+    """The fused dense Cholesky factor+solve kernel (interpret mode) must
+    reproduce cho_factor/cho_solve on SPD systems, including the
+    non-8-multiple padding path (N=30) and the production [144,144]."""
+    from sdslam_tpu.ops.pallas import chol_kernel as ck
+
+    for N in (30, 144):
+        A = rng.normal(0, 1, (N, N)).astype(np.float32)
+        S = jnp.asarray(A @ A.T + N * np.eye(N, dtype=np.float32))
+        b = jnp.asarray(rng.normal(0, 1, N).astype(np.float32))
+        x = np.asarray(ck.chol_solve_dense(S, b, interpret=True))
+        L = jax.scipy.linalg.cho_factor(S, lower=True)
+        ref = np.asarray(jax.scipy.linalg.cho_solve(L, b))
+        np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_mxu_hamming_matches_vpu(rng):
     """The int8-MXU hamming_matrix path (production on TPU) must equal the
     VPU xor+popcount oracle exactly."""
