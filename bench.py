@@ -56,13 +56,16 @@ drain) dominated the wall clock. Now:
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 WARMUP = 6  # per-frame init segment (map bootstrap)
-CHUNK = 32
-N_CHUNKS = 12  # 384 frames/pass: fixed per-pass costs amortize over ~3-4 s of work
+# overridable for chunk-structure A/B (scripts only; driver runs defaults)
+CHUNK = int(os.environ.get("SDSLAM_BENCH_CHUNK", "32"))
+N_CHUNKS = int(os.environ.get("SDSLAM_BENCH_NCHUNKS", "12"))
+# 384 frames/pass: fixed per-pass costs amortize over ~3-4 s of work
 MAX_INFLIGHT = 3  # chunk programs in flight (tunnel backpressure guard)
 # r4 (advisor): FIXED pass count — the stopping rule must not depend on
 # the reported score (sampling-until-lucky biases the headline upward).
